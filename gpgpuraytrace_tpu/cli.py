@@ -1,0 +1,181 @@
+"""CLI entry points: render / fit / fly / bench (SURVEY.md §3.3 `run/`).
+
+Replaces the reference's WPF/Win32 shell (BASELINE.json:5 "C++/WPF engine
+plumbing deleted") with headless commands writing PNG/NPY.
+
+  python -m gpgpuraytrace_tpu.cli render --size 512 --octaves 6 -o frame.png
+  python -m gpgpuraytrace_tpu.cli fit --size 128 --steps 100
+  python -m gpgpuraytrace_tpu.cli fly --size 1920x1080 --frames 60 -o frames/
+  python -m gpgpuraytrace_tpu.cli bench --size 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _parse_size(s: str) -> tuple[int, int]:
+    if "x" in s:
+        w, h = s.split("x")
+        return int(h), int(w)
+    return int(s), int(s)
+
+
+def _cfg_from_args(args) -> "RenderConfig":
+    from gpgpuraytrace_tpu.models.scene import RenderConfig
+
+    h, w = _parse_size(args.size)
+    on_tpu = jax.default_backend() == "tpu"
+    return RenderConfig(
+        height=h,
+        width=w,
+        max_steps=args.max_steps,
+        num_octaves=args.octaves,
+        use_pallas=args.pallas if args.pallas is not None else on_tpu,
+    )
+
+
+def cmd_render(args):
+    from gpgpuraytrace_tpu.models.scene import default_scene
+    from gpgpuraytrace_tpu.ops.render import render_jit
+    from gpgpuraytrace_tpu.ops.shade import tonemap
+    from gpgpuraytrace_tpu.utils.image import write_npy, write_png
+
+    cfg = _cfg_from_args(args)
+    scene = default_scene(num_octaves=cfg.num_octaves)
+    t0 = time.perf_counter()
+    img = jax.block_until_ready(render_jit(scene, cfg))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    img = jax.block_until_ready(render_jit(scene, cfg))
+    frame_s = time.perf_counter() - t0
+    out = np.asarray(tonemap(img))
+    if args.out.endswith(".npy"):
+        write_npy(args.out, out)
+    else:
+        write_png(args.out, out)
+    rays = cfg.height * cfg.width / frame_s
+    print(
+        f"rendered {cfg.width}x{cfg.height} ({cfg.num_octaves} octaves, "
+        f"pallas={cfg.use_pallas}) -> {args.out}  "
+        f"compile {compile_s:.1f}s  frame {frame_s * 1e3:.2f}ms  {rays / 1e6:.1f} Mrays/s"
+    )
+
+
+def cmd_fit(args):
+    from gpgpuraytrace_tpu.models.scene import default_scene
+    from gpgpuraytrace_tpu.ops.fit import fit, perturb_scene
+    from gpgpuraytrace_tpu.ops.render import render_jit
+
+    cfg = _cfg_from_args(args)
+    target_scene = default_scene(num_octaves=cfg.num_octaves)
+    target = jax.block_until_ready(render_jit(target_scene, cfg))
+    scene0 = perturb_scene(target_scene, jax.random.PRNGKey(args.seed))
+    scene, losses = fit(scene0, cfg, target, steps=args.steps, learning_rate=args.lr)
+    print(
+        f"fit: loss {losses[0]:.4e} -> {losses[-1]:.4e} over {len(losses)} steps"
+    )
+    amp_err = float(
+        jnp.max(jnp.abs(scene.noise.amplitudes - target_scene.noise.amplitudes))
+    )
+    print(f"max |amplitude error| = {amp_err:.4f}")
+    if args.out:
+        np.savez(
+            args.out,
+            losses=np.asarray(losses),
+            amplitudes=np.asarray(scene.noise.amplitudes),
+        )
+
+
+def cmd_fly(args):
+    from gpgpuraytrace_tpu.models.scene import default_scene
+    from gpgpuraytrace_tpu.ops.flythrough import fly_frames
+    from gpgpuraytrace_tpu.utils.image import write_png
+
+    cfg = _cfg_from_args(args)
+    scene = default_scene(num_octaves=cfg.num_octaves)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    n = 0
+    for idx, frame in fly_frames(scene, cfg, args.frames, batch=args.batch):
+        write_png(os.path.join(args.out, f"frame_{idx:04d}.png"), frame)
+        n += 1
+    dt = time.perf_counter() - t0
+    print(
+        f"flythrough: {n} frames {cfg.width}x{cfg.height} in {dt:.1f}s "
+        f"({n / dt:.2f} fps incl. IO)"
+    )
+
+
+def cmd_bench(args):
+    import bench as bench_mod  # repo-root bench harness
+
+    result = bench_mod.run_bench(
+        size=_parse_size(args.size), octaves=args.octaves, iters=args.iters
+    )
+    print(json.dumps(result))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gpgpuraytrace_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument(
+            "--cpu",
+            action="store_true",
+            help="force the CPU backend (overrides an environment-pinned TPU)",
+        )
+        sp.add_argument("--size", default="512", help="N or WxH")
+        sp.add_argument("--octaves", type=int, default=6)
+        sp.add_argument("--max-steps", type=int, default=128)
+        sp.add_argument(
+            "--pallas",
+            default=None,
+            action=argparse.BooleanOptionalAction,
+            help="force fused Pallas kernel on/off (default: on for TPU)",
+        )
+
+    sp = sub.add_parser("render", help="render one frame")
+    common(sp)
+    sp.add_argument("-o", "--out", default="frame.png")
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("fit", help="recover params from a target image")
+    common(sp)
+    sp.add_argument("--steps", type=int, default=200)
+    sp.add_argument("--lr", type=float, default=2e-2)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("-o", "--out", default="")
+    sp.set_defaults(fn=cmd_fit)
+
+    sp = sub.add_parser("fly", help="animated flythrough frames")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=60)
+    sp.add_argument("--batch", type=int, default=4, help="temporal ray batch")
+    sp.add_argument("-o", "--out", default="frames")
+    sp.set_defaults(fn=cmd_fly)
+
+    sp = sub.add_parser("bench", help="benchmark fwd+bwd rays/s")
+    common(sp)
+    sp.add_argument("--iters", type=int, default=20)
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    if getattr(args, "cpu", False):
+        # jax.config wins over the JAX_PLATFORMS env var (this environment's
+        # sitecustomize pins the TPU platform through jax.config).
+        jax.config.update("jax_platforms", "cpu")
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

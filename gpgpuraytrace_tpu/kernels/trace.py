@@ -1,0 +1,284 @@
+"""Fused Pallas TPU kernel: raygen → sphere-trace march → shade, one pass.
+
+This is the TPU-native replacement for the reference's two-dispatch GPU
+pipeline (``camerarays.hlsl`` then ``tracescreen.hlsl`` over a D3D11
+thread-group grid; BASELINE.json:5 "D3D11 compute dispatch → pallas_call tile
+grid"). One ``pallas_call`` instance computes a (TILE_H, TILE_W) pixel tile
+entirely in VMEM/registers: ray directions from SMEM camera scalars, the
+march as a chunk-early-exiting loop (a whole tile stops as soon as every
+lane is done — the VPU analogue of the reference's per-thread ``break``),
+analytic-gradient normals, Lambert/fog/sky shading, and the per-pixel hit-t
+**checkpoint** that the custom-VJP backward consumes (BASELINE.json:5
+"checkpointed re-march backward"; the backward itself uses the cheaper
+implicit-function gradient — see ops/march.py).
+
+Data layout notes (TPU tiling):
+* Pixels are laid out (H, W) with W on the 128-lane axis; tiles are
+  (TILE_H, TILE_W) = (32, 128) f32 → 8×(8,128) native registers.
+* Color planes are a leading dim: (3, H, W), so no 3-wide trailing axis ever
+  exists on device.
+* All per-pixel state (t, hit, ray components) lives as separate (TH, TW)
+  f32 arrays — structure-of-arrays, never an (…, 3) trailing axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpgpuraytrace_tpu.models.scene import RenderConfig, Scene
+from gpgpuraytrace_tpu.ops.noise import fbm2
+from gpgpuraytrace_tpu.ops.render import render_from_checkpoint
+from gpgpuraytrace_tpu.utils import packing as pk
+
+TILE_H = 32
+TILE_W = 128
+# March chunking: after every CHUNK steps the tile checks "is every lane
+# done?" and exits early. Small enough to exit promptly, large enough that
+# the any-reduction is amortized.
+CHUNK = 8
+
+_NEWTON_ITERS = 3
+_DENOM_EPS = 1e-4
+
+
+def _smoothstep(lo, hi, x):
+    u = jnp.clip((x - lo) / (hi - lo), 0.0, 1.0)
+    return u * u * (3.0 - 2.0 * u)
+
+
+def _terrain(prm, seed, num_octaves, x, z):
+    """Heightfield h and analytic (dh/dx, dh/dz) from packed params."""
+    hs = prm[0, pk.HORIZONTAL_SCALE]
+    amps = jnp.stack([prm[0, pk.AMPS + i] for i in range(num_octaves)])
+    n, nx, nz = fbm2(x * hs, z * hs, amps, prm[0, pk.LACUNARITY], seed)
+    h = prm[0, pk.HEIGHT_OFFSET] + prm[0, pk.HEIGHT_SCALE] * n
+    scale = prm[0, pk.HEIGHT_SCALE] * hs
+    return h, scale * nx, scale * nz
+
+
+def _trace_kernel(
+    prm_ref,
+    seed_ref,
+    color_ref,
+    t_ref,
+    hit_ref,
+    *,
+    cfg: RenderConfig,
+):
+    """One (TILE_H, TILE_W) pixel tile: full raygen+march+shade."""
+    prm = prm_ref
+    seed = seed_ref[0, 0]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+        + i.astype(jnp.float32) * TILE_H
+        + prm[0, pk.ROW0]  # tile-sharding row offset (0 for full frames)
+    )
+    cols = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+        + j.astype(jnp.float32) * TILE_W
+    )
+    ndc_x = (cols + 0.5) * (2.0 / cfg.width) - 1.0
+    ndc_y = 1.0 - (rows + 0.5) * (2.0 / cfg.height)
+
+    tanf = prm[0, pk.TANFOV]
+    aspect = prm[0, pk.ASPECT]
+    sx = tanf * aspect * ndc_x
+    sy = tanf * ndc_y
+    dx = prm[0, pk.FWD + 0] + sx * prm[0, pk.RIGHT + 0] + sy * prm[0, pk.UP + 0]
+    dy = prm[0, pk.FWD + 1] + sx * prm[0, pk.RIGHT + 1] + sy * prm[0, pk.UP + 1]
+    dz = prm[0, pk.FWD + 2] + sx * prm[0, pk.RIGHT + 2] + sy * prm[0, pk.UP + 2]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv, dy * inv, dz * inv
+    ox = prm[0, pk.POS + 0]
+    oy = prm[0, pk.POS + 1]
+    oz = prm[0, pk.POS + 2]
+
+    def height_at(t):
+        px = ox + t * dx
+        pz = oz + t * dz
+        return _terrain(prm, seed, cfg.num_octaves, px, pz)
+
+    def field_at(t):
+        h, _, _ = height_at(t)
+        return (oy + t * dy) - h
+
+    # --- march: fixed-size chunks with whole-tile early exit ---------------
+    # Masks are f32 0/1, not bool: Mosaic cannot carry i1 vectors through
+    # scf.while (fails to legalize scf.yield), and f32 masks multiply
+    # straight into the update arithmetic anyway.
+    t0 = jnp.full((TILE_H, TILE_W), cfg.t_min, jnp.float32)
+    hit0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    active0 = jnp.ones((TILE_H, TILE_W), jnp.float32)
+    num_chunks = pl.cdiv(cfg.max_steps, CHUNK)
+
+    def chunk_body(carry):
+        c, t, hit, active = carry
+
+        def step_body(_, s):
+            t, hit, active = s
+            f = field_at(t)
+            is_hit = jnp.where(f < cfg.hit_eps * t, active, 0.0)
+            advance = active - is_hit  # is_hit ⊆ active
+            step = jnp.maximum(cfg.step_relax * f, cfg.hit_eps)
+            t_new = jnp.minimum(t + step * advance, cfg.t_max)
+            hit_new = jnp.maximum(hit, is_hit)
+            active_new = jnp.where(t_new < cfg.t_max, advance, 0.0)
+            return t_new, hit_new, active_new
+
+        t, hit, active = jax.lax.fori_loop(0, CHUNK, step_body, (t, hit, active))
+        return c + 1, t, hit, active
+
+    def chunk_cond(carry):
+        c, _, _, active = carry
+        return (c < num_chunks) & (jnp.max(active) > 0.0)
+
+    _, t, hitf, _ = jax.lax.while_loop(
+        chunk_cond, chunk_body, (jnp.int32(0), t0, hit0, active0)
+    )
+    hit = hitf > 0.5
+
+    # --- Newton polish with analytic gradient ------------------------------
+    for _ in range(_NEWTON_ITERS):
+        h, hx, hz = height_at(t)
+        f = (oy + t * dy) - h
+        denom = -hx * dx + dy - hz * dz  # ∇f · d
+        safe = hit & (jnp.abs(denom) > _DENOM_EPS)
+        dt = jnp.where(safe, f / jnp.where(safe, denom, 1.0), 0.0)
+        t = jnp.clip(t - dt, cfg.t_min, cfg.t_max)
+
+    # --- shade (componentwise mirror of ops/shade.py) ----------------------
+    h, hx, hz = height_at(t)
+    ninv = jax.lax.rsqrt(hx * hx + 1.0 + hz * hz)
+    nx_, ny_, nz_ = -hx * ninv, ninv, -hz * ninv
+
+    lx = prm[0, pk.SUN_DIR + 0]
+    ly = prm[0, pk.SUN_DIR + 1]
+    lz = prm[0, pk.SUN_DIR + 2]
+
+    # Sky (for all rays; also the fog tint component).
+    up_amount = jnp.clip(dy, 0.0, 1.0)
+    cos_sun = jnp.clip(dx * lx + dy * ly + dz * lz, 0.0, 1.0)
+    c2 = cos_sun * cos_sun
+    c4 = c2 * c2
+    c8 = c4 * c4
+    c16 = c8 * c8
+    c64 = c16 * c16 * c16 * c16
+    c512 = c64 * c64 * c64 * c64 * c64 * c64 * c64 * c64
+    sun_term = 0.25 * c64 + 1.5 * c512
+
+    steep = _smoothstep(0.85, 0.55, ny_)
+    snow = _smoothstep(prm[0, pk.SNOW_HEIGHT], prm[0, pk.SNOW_HEIGHT] + 1.0, h) * (
+        1.0 - steep
+    )
+    diffuse = jnp.clip(nx_ * lx + ny_ * ly + nz_ * lz, 0.0, 1.0)
+    sky_fill = 0.5 + 0.5 * ny_
+    fog = 1.0 - jnp.exp(-prm[0, pk.FOG_DENSITY] * t)
+
+    for ch in range(3):
+        sky = (
+            prm[0, pk.SKY_HORIZON + ch]
+            + (prm[0, pk.SKY_ZENITH + ch] - prm[0, pk.SKY_HORIZON + ch]) * up_amount
+            + sun_term * prm[0, pk.SUN_COLOR + ch]
+        )
+        albedo = (
+            prm[0, pk.ALBEDO_LOW + ch]
+            + (prm[0, pk.ALBEDO_HIGH + ch] - prm[0, pk.ALBEDO_LOW + ch]) * steep
+        )
+        albedo = albedo + (prm[0, pk.SNOW_COLOR + ch] - albedo) * snow
+        light = prm[0, pk.SUN_COLOR + ch] * diffuse + prm[0, pk.AMBIENT + ch] * sky_fill
+        surf = albedo * light
+        fog_tint = 0.5 * (prm[0, pk.FOG_COLOR + ch] + sky)
+        surf = surf + (fog_tint - surf) * fog
+        color_ref[ch, :, :] = jnp.where(hit, surf, sky)
+
+    t_ref[:, :] = t
+    hit_ref[:, :] = hitf
+
+
+def _render_pallas_raw(
+    scene: Scene,
+    cfg: RenderConfig,
+    row0=0.0,
+    local_height: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Launch the fused kernel over the tile grid. Returns (color, t, hit).
+
+    ``row0``/``local_height`` select a row band of the full cfg.height image
+    (the shard_map tile-sharding unit); defaults render the whole frame.
+    """
+    h = cfg.height if local_height is None else local_height
+    w = cfg.width
+    packed, seed = pk.pack_scene(scene, cfg.height, w, row0)
+    grid = (pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
+    kernel = functools.partial(_trace_kernel, cfg=cfg)
+    n_params = packed.shape[1]
+
+    flops_per_px = cfg.max_steps * cfg.num_octaves * 60 + 400
+    color, t, hit_f = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_params), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=h * w * flops_per_px,
+            bytes_accessed=h * w * 5 * 4,
+            transcendentals=h * w * cfg.max_steps,
+        ),
+        interpret=cfg.interpret,
+    )(packed, seed)
+    return jnp.moveaxis(color, 0, -1), t, hit_f > 0.5
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def render_pallas_cfg(
+    cfg: RenderConfig, local_height: int | None, scene: Scene, row0
+) -> jax.Array:
+    """Differentiable fused render: forward on the Pallas kernel, backward
+    through the checkpointed pure-JAX path (identical gradients to
+    ``render_jax`` — asserted in tests/test_grad.py)."""
+    color, _, _ = _render_pallas_raw(scene, cfg, row0, local_height)
+    return color
+
+
+def _rp_fwd(cfg, local_height, scene, row0):
+    color, t, hit = _render_pallas_raw(scene, cfg, row0, local_height)
+    return color, (scene, row0, t, hit)
+
+
+def _rp_bwd(cfg, local_height, res, g):
+    scene, row0, t, hit = res
+    _, pullback = jax.vjp(
+        lambda s: render_from_checkpoint(s, cfg, t, hit, row0, local_height),
+        scene,
+    )
+    (scene_bar,) = pullback(g)
+    return scene_bar, jnp.zeros_like(jnp.asarray(row0, jnp.float32))
+
+
+render_pallas_cfg.defvjp(_rp_fwd, _rp_bwd)
+
+
+def render_pallas(
+    scene: Scene, cfg: RenderConfig, row0=0.0, local_height: int | None = None
+) -> jax.Array:
+    return render_pallas_cfg(cfg, local_height, scene, row0)

@@ -1,0 +1,137 @@
+"""Scene parameter pytrees — the "model" of this framework.
+
+The reference's tweakable state lived in per-frame D3D11 constant buffers and
+(likely) WPF-editable variables (BASELINE.json:5 "per-frame constant buffers
+→ sharded pytrees"). Here every scene quantity is a leaf of a JAX pytree:
+jit-traceable (camera updates never recompile), shardable/replicable under a
+``Mesh``, and directly optimizable (the ``fit`` loop takes gradients w.r.t.
+these leaves; BASELINE.json:9).
+
+Static compile-time facts (image size, march step counts, octave count) live
+in ``RenderConfig``, a hashable frozen dataclass passed as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class NoiseParams:
+    """Terrain field parameters (the role of the reference's noise constants).
+
+    ``amplitudes`` are the per-octave fBm weights — the primary learnable
+    terrain parameters (BASELINE.json:9 "recover fBm amplitudes").
+    """
+
+    amplitudes: jnp.ndarray  # (num_octaves,) per-octave fBm amplitude
+    lacunarity: jnp.ndarray  # scalar frequency multiplier between octaves
+    height_scale: jnp.ndarray  # scalar terrain height scale
+    height_offset: jnp.ndarray  # scalar terrain base height
+    horizontal_scale: jnp.ndarray  # scalar ground-plane frequency
+    seed: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.int32(7)
+    )  # integer lattice seed (not differentiable)
+
+
+@struct.dataclass
+class Camera:
+    """Flythrough camera (the role of camerarays.hlsl's constant buffer).
+
+    Differentiable w.r.t. ``position``, ``yaw``, ``pitch`` (BASELINE.json:9
+    "recover ... camera pose").
+    """
+
+    position: jnp.ndarray  # (3,) world position
+    yaw: jnp.ndarray  # scalar, radians, 0 = +z
+    pitch: jnp.ndarray  # scalar, radians, positive looks up
+    fov_y: jnp.ndarray  # scalar, vertical field of view in radians
+
+
+@struct.dataclass
+class Materials:
+    """Lighting / material / atmosphere constants (tracescreen.hlsl's role)."""
+
+    sun_dir: jnp.ndarray  # (3,) direction TOWARD the sun (normalized on use)
+    sun_color: jnp.ndarray  # (3,)
+    ambient_color: jnp.ndarray  # (3,)
+    albedo_low: jnp.ndarray  # (3,) grass/dirt color at gentle slopes
+    albedo_high: jnp.ndarray  # (3,) rock color at steep slopes
+    snow_color: jnp.ndarray  # (3,) above snow_height
+    snow_height: jnp.ndarray  # scalar
+    fog_color: jnp.ndarray  # (3,)
+    fog_density: jnp.ndarray  # scalar
+    sky_zenith: jnp.ndarray  # (3,)
+    sky_horizon: jnp.ndarray  # (3,)
+
+
+@struct.dataclass
+class Scene:
+    """Full differentiable parameter set: params → image is a pure function."""
+
+    noise: NoiseParams
+    camera: Camera
+    materials: Materials
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) render settings — hashable, passed static to jit.
+
+    The march-loop structure mirrors the reference's sphere tracer
+    (tracescreen.hlsl role, BASELINE.json:8 "adaptive step sphere-trace"):
+    ``max_steps`` iterations of t += relax * f(p), with a screen-space-scaled
+    hit epsilon.
+    """
+
+    height: int = 512
+    width: int = 512
+    max_steps: int = 128
+    t_min: float = 0.05
+    t_max: float = 200.0
+    hit_eps: float = 1e-3  # hit when f(p) < hit_eps * t (screen-space scaled)
+    step_relax: float = 0.7  # conservative step factor (heightfield != SDF)
+    num_octaves: int = 6
+    use_pallas: bool = True  # fused Pallas kernel vs pure-XLA path
+    interpret: bool = False  # Pallas interpreter mode (CPU debugging)
+
+
+def default_scene(num_octaves: int = 6) -> Scene:
+    """A canonical terrain scene; also the anchor for the golden images.
+
+    Amplitudes follow the classic fBm 1/2^i decay the reference uses
+    (BASELINE.json:8 "6-octave fBm terrain").
+    """
+    f = jnp.float32
+    amps = jnp.asarray([0.5 ** i for i in range(num_octaves)], jnp.float32)
+    noise = NoiseParams(
+        amplitudes=amps,
+        lacunarity=f(2.0),
+        height_scale=f(6.0),
+        height_offset=f(0.0),
+        horizontal_scale=f(0.05),
+        seed=jnp.int32(7),
+    )
+    camera = Camera(
+        position=jnp.asarray([0.0, 8.0, -14.0], jnp.float32),
+        yaw=f(0.0),
+        pitch=f(-0.28),
+        fov_y=f(1.0471976),  # 60 degrees
+    )
+    materials = Materials(
+        sun_dir=jnp.asarray([0.45, 0.6, 0.25], jnp.float32),
+        sun_color=jnp.asarray([1.0, 0.92, 0.78], jnp.float32),
+        ambient_color=jnp.asarray([0.18, 0.22, 0.30], jnp.float32),
+        albedo_low=jnp.asarray([0.22, 0.34, 0.14], jnp.float32),
+        albedo_high=jnp.asarray([0.38, 0.34, 0.30], jnp.float32),
+        snow_color=jnp.asarray([0.92, 0.94, 0.98], jnp.float32),
+        snow_height=f(4.0),
+        fog_color=jnp.asarray([0.62, 0.68, 0.80], jnp.float32),
+        fog_density=f(0.012),
+        sky_zenith=jnp.asarray([0.20, 0.38, 0.72], jnp.float32),
+        sky_horizon=jnp.asarray([0.72, 0.80, 0.92], jnp.float32),
+    )
+    return Scene(noise=noise, camera=camera, materials=materials)

@@ -1,0 +1,152 @@
+"""Adaptive-step sphere-trace march with an implicit-function custom VJP.
+
+Forward: the role of the reference's ``tracescreen.hlsl`` march loop
+(BASELINE.json:5,8 "adaptive step sphere-trace"): per pixel, advance
+t ← t + relax·f(o + t·d) until f < ε·t (hit) or t > t_max (miss), then a few
+Newton refinement steps polish the hit distance using the analytic field
+gradient. Vectorized over all pixels; a fixed-trip-count ``fori_loop`` with
+per-lane active masks (the TPU VPU has no per-lane early exit; masked lanes
+are the idiomatic equivalent of the reference's per-thread ``break``).
+
+Backward: the driver contract calls for a checkpointed re-march backward
+(BASELINE.json:5). We implement something strictly cheaper and exact: at a
+hit, t(θ, o, d) satisfies f(o + t·d, θ) = 0, so by the implicit function
+theorem
+
+    ∂t/∂θ = -(∂f/∂θ) / (∇p f · d)
+    ∂t/∂o = -∇p f / (∇p f · d)
+    ∂t/∂d = -t·∇p f / (∇p f · d)
+
+— one field evaluation at the saved hit point replaces the entire re-march.
+The saved per-pixel hit t IS the checkpoint (``march_from_saved`` re-uses it
+for the Pallas forward kernel's backward pass). Misses and degenerate grazing
+hits (|∇f·d| ≈ 0, i.e. silhouettes) get zero gradient; the silhouette
+discontinuity is genuinely non-differentiable (SURVEY.md §8 hard-part 1) and
+the finite-difference harness masks those pixels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gpgpuraytrace_tpu.models.scene import NoiseParams, RenderConfig
+from gpgpuraytrace_tpu.ops.field import field, field_and_grad
+
+_NEWTON_ITERS = 3
+_DENOM_EPS = 1e-4
+
+
+def _march_loop(
+    cfg: RenderConfig, ray_o: jax.Array, ray_d: jax.Array, noise: NoiseParams
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Raw march: returns (t, hit, steps_used). Not differentiable (int loop)."""
+    shape = ray_o.shape[:-1]
+    t0 = jnp.full(shape, cfg.t_min, jnp.float32)
+    hit0 = jnp.zeros(shape, bool)
+    active0 = jnp.ones(shape, bool)
+    steps0 = jnp.zeros(shape, jnp.int32)
+
+    def body(_, carry):
+        t, hit, active, steps = carry
+        p = ray_o + t[..., None] * ray_d
+        f = field(p, noise)
+        is_hit = active & (f < cfg.hit_eps * t)
+        advance = active & ~is_hit
+        step = jnp.maximum(cfg.step_relax * f, cfg.hit_eps)
+        t_new = jnp.where(advance, t + step, t)
+        return (
+            jnp.minimum(t_new, cfg.t_max),
+            hit | is_hit,
+            advance & (t_new < cfg.t_max),
+            steps + advance.astype(jnp.int32),
+        )
+
+    t, hit, _, steps = jax.lax.fori_loop(
+        0, cfg.max_steps, body, (t0, hit0, active0, steps0)
+    )
+
+    # Newton polish at hits: t -= f / (∇f·d), using the analytic gradient.
+    for _ in range(_NEWTON_ITERS):
+        p = ray_o + t[..., None] * ray_d
+        f, grad = field_and_grad(p, noise)
+        denom = jnp.sum(grad * ray_d, axis=-1)
+        safe = hit & (jnp.abs(denom) > _DENOM_EPS)
+        dt = jnp.where(safe, f / jnp.where(safe, denom, 1.0), 0.0)
+        t = jnp.clip(t - dt, cfg.t_min, cfg.t_max)
+    return t, hit, steps
+
+
+def _march_bwd_core(
+    ray_o: jax.Array,
+    ray_d: jax.Array,
+    noise: NoiseParams,
+    t: jax.Array,
+    hit: jax.Array,
+    ct_t: jax.Array,
+):
+    """Shared implicit-function VJP: cotangent on t → (ō, d̄, noise_bar)."""
+    p = jax.lax.stop_gradient(ray_o + t[..., None] * ray_d)
+    _, grad_p = field_and_grad(p, noise)
+    denom = jnp.sum(grad_p * ray_d, axis=-1)
+    safe = hit & (jnp.abs(denom) > _DENOM_EPS)
+    scale = jnp.where(safe, -ct_t / jnp.where(safe, denom, 1.0), 0.0)
+
+    _, pullback = jax.vjp(lambda n: field(p, n), noise)
+    (noise_bar,) = pullback(scale)
+    o_bar = scale[..., None] * grad_p
+    d_bar = (scale * t)[..., None] * grad_p
+    return o_bar, d_bar, noise_bar
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def march(cfg: RenderConfig, ray_o, ray_d, noise):
+    """Differentiable sphere trace: (t, hit) per pixel."""
+    t, hit, _ = _march_loop(cfg, ray_o, ray_d, noise)
+    return t, hit
+
+
+def _march_fwd(cfg, ray_o, ray_d, noise):
+    t, hit, _ = _march_loop(cfg, ray_o, ray_d, noise)
+    return (t, hit), (ray_o, ray_d, noise, t, hit)
+
+
+def _march_bwd(cfg, res, cotangents):
+    ray_o, ray_d, noise, t, hit = res
+    ct_t, _ = cotangents  # hit is boolean → float0 cotangent, ignored
+    return _march_bwd_core(ray_o, ray_d, noise, t, hit, ct_t)
+
+
+march.defvjp(_march_fwd, _march_bwd)
+
+
+@jax.custom_vjp
+def march_from_saved(ray_o, ray_d, noise, t_saved, hit_saved):
+    """Checkpoint-resume march: forward is a no-op returning the saved hit
+    distance (the per-pixel checkpoint written by the fused Pallas forward
+    kernel, BASELINE.json:5 "checkpointed re-march backward"); backward is the
+    same implicit-function VJP as ``march``. Gradients w.r.t. t_saved are not
+    propagated (it is the checkpoint, not an input)."""
+    return t_saved, hit_saved
+
+
+def _mfs_fwd(ray_o, ray_d, noise, t_saved, hit_saved):
+    return (t_saved, hit_saved), (ray_o, ray_d, noise, t_saved, hit_saved)
+
+
+def _mfs_bwd(res, cotangents):
+    ray_o, ray_d, noise, t, hit = res
+    ct_t, _ = cotangents
+    o_bar, d_bar, noise_bar = _march_bwd_core(ray_o, ray_d, noise, t, hit, ct_t)
+    return o_bar, d_bar, noise_bar, jnp.zeros_like(t), None
+
+
+march_from_saved.defvjp(_mfs_fwd, _mfs_bwd)
+
+
+def march_with_stats(cfg: RenderConfig, ray_o, ray_d, noise):
+    """Non-differentiable march that also reports per-pixel step counts
+    (observability: step-count histograms in the bench harness)."""
+    return _march_loop(cfg, ray_o, ray_d, noise)

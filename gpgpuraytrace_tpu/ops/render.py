@@ -1,0 +1,69 @@
+"""The render pipeline: raygen → march → shade, as one jittable function.
+
+This is the pure-JAX/XLA path (SURVEY.md §8 stage 1–2): correct on CPU and
+TPU, fully differentiable, and the semantic reference that the fused Pallas
+kernel (gpgpuraytrace_tpu/kernels/) must match bit-for-tolerance. The
+dispatch structure mirrors the reference's per-frame GPU pipeline
+(BASELINE.json:5: camerarays.hlsl → tracescreen.hlsl → screen UAV), collapsed
+into a single traced function XLA fuses end-to-end.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from gpgpuraytrace_tpu.models.scene import RenderConfig, Scene
+from gpgpuraytrace_tpu.ops.camera import generate_rays
+from gpgpuraytrace_tpu.ops.march import march, march_from_saved
+from gpgpuraytrace_tpu.ops.shade import shade
+
+
+def render_jax(
+    scene: Scene, cfg: RenderConfig, row0=0.0, local_height: int | None = None
+) -> jax.Array:
+    """Pure-XLA render: (h, W, 3) linear RGB. Differentiable w.r.t. scene.
+
+    ``row0``/``local_height`` render a row band of the full frame (the tile
+    sharding unit used by parallel/sharded.py); defaults = full frame.
+    """
+    ray_o, ray_d = generate_rays(scene.camera, cfg.height, cfg.width, row0, local_height)
+    t, hit = march(cfg, ray_o, ray_d, scene.noise)
+    return shade(ray_o, ray_d, t, hit, scene.noise, scene.materials)
+
+
+def render_from_checkpoint(
+    scene: Scene,
+    cfg: RenderConfig,
+    t_saved: jax.Array,
+    hit_saved: jax.Array,
+    row0=0.0,
+    local_height: int | None = None,
+) -> jax.Array:
+    """Render with the march replaced by a saved per-pixel (t, hit) checkpoint.
+
+    Used as the differentiable backward path for the fused Pallas forward
+    kernel (BASELINE.json:5 "checkpointed re-march backward"): gradients flow
+    through shading directly and through the hit distance via the
+    implicit-function VJP of ``march_from_saved`` — no forward re-march.
+    """
+    ray_o, ray_d = generate_rays(scene.camera, cfg.height, cfg.width, row0, local_height)
+    t, hit = march_from_saved(ray_o, ray_d, scene.noise, t_saved, hit_saved)
+    return shade(ray_o, ray_d, t, hit, scene.noise, scene.materials)
+
+
+def render(
+    scene: Scene, cfg: RenderConfig, row0=0.0, local_height: int | None = None
+) -> jax.Array:
+    """Main entry: fused Pallas path when enabled, pure-XLA fallback."""
+    if cfg.use_pallas:
+        from gpgpuraytrace_tpu.kernels.trace import render_pallas
+
+        return render_pallas(scene, cfg, row0, local_height)
+    return render_jax(scene, cfg, row0, local_height)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def render_jit(scene: Scene, cfg: RenderConfig) -> jax.Array:
+    return render(scene, cfg)

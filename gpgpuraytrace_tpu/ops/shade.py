@@ -1,0 +1,98 @@
+"""Shading: gradient normals, Lambert lighting, procedural sky, distance fog.
+
+The role of the shading tail of the reference's ``tracescreen.hlsl``
+(BASELINE.json:5 "shading, normals-from-gradient, and sky/fog"; BASELINE.json:7
+Lambert). Fully differentiable w.r.t. all ``Materials`` / ``NoiseParams`` /
+camera-derived inputs; every op is elementwise VPU work that XLA fuses into
+the surrounding pipeline (and that the Pallas kernel inlines verbatim).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpgpuraytrace_tpu.models.scene import Materials, NoiseParams
+from gpgpuraytrace_tpu.ops.field import terrain_height
+
+
+def _normalize(v: jax.Array) -> jax.Array:
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-12)
+
+
+def _smoothstep(lo, hi, x):
+    u = jnp.clip((x - lo) / (hi - lo), 0.0, 1.0)
+    return u * u * (3.0 - 2.0 * u)
+
+
+def sky_color(ray_d: jax.Array, mat: Materials) -> jax.Array:
+    """Procedural sky for miss rays: zenith/horizon gradient + sun glow."""
+    sun = _normalize(mat.sun_dir)
+    up_amount = jnp.clip(ray_d[..., 1], 0.0, 1.0)
+    base = (
+        mat.sky_horizon
+        + (mat.sky_zenith - mat.sky_horizon) * up_amount[..., None]
+    )
+    cos_sun = jnp.clip(jnp.sum(ray_d * sun, axis=-1), 0.0, 1.0)
+    glow = cos_sun ** 64.0
+    disc = cos_sun ** 512.0
+    return base + (0.25 * glow + 1.5 * disc)[..., None] * mat.sun_color
+
+
+def surface_color(
+    p: jax.Array, normal: jax.Array, mat: Materials, height: jax.Array
+) -> jax.Array:
+    """Slope/height-based albedo + Lambert sun + hemispherical ambient."""
+    sun = _normalize(mat.sun_dir)
+    # Albedo: grass on flats, rock on steeps, snow above snow_height.
+    steep = _smoothstep(0.85, 0.55, normal[..., 1])  # 0 flat → 1 steep
+    albedo = mat.albedo_low + (mat.albedo_high - mat.albedo_low) * steep[..., None]
+    snow = _smoothstep(mat.snow_height, mat.snow_height + 1.0, height) * (
+        1.0 - steep
+    )
+    albedo = albedo + (mat.snow_color - albedo) * snow[..., None]
+
+    diffuse = jnp.clip(jnp.sum(normal * sun, axis=-1), 0.0, 1.0)
+    sky_fill = 0.5 + 0.5 * normal[..., 1]  # hemispherical ambient weight
+    light = (
+        mat.sun_color * diffuse[..., None]
+        + mat.ambient_color * sky_fill[..., None]
+    )
+    return albedo * light
+
+
+def apply_fog(color: jax.Array, sky: jax.Array, t: jax.Array, mat: Materials) -> jax.Array:
+    """Exponential distance fog blending toward the sky/fog color."""
+    f = 1.0 - jnp.exp(-mat.fog_density * t)
+    fog_tint = 0.5 * (mat.fog_color + sky)
+    return color + (fog_tint - color) * f[..., None]
+
+
+def shade(
+    ray_o: jax.Array,
+    ray_d: jax.Array,
+    t: jax.Array,
+    hit: jax.Array,
+    noise: NoiseParams,
+    mat: Materials,
+) -> jax.Array:
+    """Full shading from the march result → linear RGB in [0, ~1.5].
+
+    Normals come from the analytic heightfield gradient (exact, zero extra
+    field taps — replaces the reference's central-difference estimate).
+    """
+    p = ray_o + t[..., None] * ray_d
+    h, dh_dx, dh_dz = terrain_height(p[..., 0], p[..., 2], noise)
+    normal = _normalize(
+        jnp.stack([-dh_dx, jnp.ones_like(h), -dh_dz], axis=-1)
+    )
+    sky = sky_color(ray_d, mat)
+    surf = surface_color(p, normal, mat, h)
+    surf = apply_fog(surf, sky, t, mat)
+    return jnp.where(hit[..., None], surf, sky)
+
+
+def tonemap(color: jax.Array) -> jax.Array:
+    """Simple differentiable Reinhard + gamma for display output."""
+    c = color / (1.0 + color)
+    return jnp.clip(c, 0.0, 1.0) ** (1.0 / 2.2)

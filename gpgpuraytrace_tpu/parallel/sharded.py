@@ -1,0 +1,120 @@
+"""Sharded render and fit: shard_map over the 'tiles' mesh axis.
+
+Driver config 5 (BASELINE.json:11): a large frame's rows shard across every
+chip of a (multi-host) mesh; each device runs the fused forward+backward over
+its own row band (ICI-local, zero cross-device traffic), then the small
+terrain/camera/material parameter gradients are ``psum``-all-reduced.
+
+Overlap (BASELINE.json:5 "all-reduced and overlapped with the backward
+march"): gradients are psum'd **per pytree leaf**, so XLA's latency-hiding
+scheduler can launch each leaf's all-reduce as soon as its local partial is
+ready while the remaining backward work (other leaves' VJP accumulation)
+continues — rather than one fused all-reduce gated on the full backward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpgpuraytrace_tpu.models.scene import RenderConfig, Scene
+from gpgpuraytrace_tpu.ops.render import render
+from gpgpuraytrace_tpu.parallel.mesh import TILE_AXIS
+
+
+def _local_rows(cfg: RenderConfig, n_shards: int) -> int:
+    assert cfg.height % n_shards == 0, (
+        f"image height {cfg.height} must divide evenly over {n_shards} shards"
+    )
+    return cfg.height // n_shards
+
+
+def sharded_render(scene: Scene, cfg: RenderConfig, mesh: Mesh) -> jax.Array:
+    """Full frame rendered with rows sharded over the mesh: (H, W, 3), output
+    sharded ``P('tiles', None, None)``. Params replicated; no collectives at
+    all in the forward path (rays are embarrassingly parallel)."""
+    n = mesh.shape[TILE_AXIS]
+    local_h = _local_rows(cfg, n)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(TILE_AXIS, None, None),
+        check_rep=False,
+    )
+    def body(scene):
+        row0 = jax.lax.axis_index(TILE_AXIS).astype(jnp.float32) * local_h
+        return render(scene, cfg, row0=row0, local_height=local_h)
+
+    return body(scene)
+
+
+def sharded_loss_and_grad(
+    train_leaves, merge, cfg: RenderConfig, target: jax.Array, mesh: Mesh
+):
+    """Global-mean pixel loss + trainable-param grads, computed shard-wise.
+
+    ``train_leaves``/``merge`` come from ``ops.fit.partition_scene`` (the
+    trainable float leaves and the scene re-assembler). Each device runs
+    forward + checkpointed backward over its row band, then ``psum``s the
+    (small) parameter cotangents per leaf across the mesh — the grad
+    all-reduce the driver contract calls out, riding ICI/DCN.
+    """
+    n = mesh.shape[TILE_AXIS]
+    local_h = _local_rows(cfg, n)
+    inv_npix = 1.0 / (cfg.height * cfg.width * 3)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS, None, None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def body(train_leaves, target_local):
+        row0 = jax.lax.axis_index(TILE_AXIS).astype(jnp.float32) * local_h
+
+        def local_loss(leaves):
+            img = render(merge(leaves), cfg, row0=row0, local_height=local_h)
+            d = img - target_local
+            return jnp.sum(d * d) * inv_npix
+
+        loss, grads = jax.value_and_grad(local_loss)(train_leaves)
+        # Per-leaf psum → XLA can overlap each all-reduce with remaining
+        # backward work instead of serializing one big fused reduce.
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, TILE_AXIS), grads
+        )
+        return jax.lax.psum(loss, TILE_AXIS), grads
+
+    return body(train_leaves, target)
+
+
+def make_sharded_fit_step(
+    cfg: RenderConfig, mesh: Mesh, merge, tx: optax.GradientTransformation
+):
+    """jit-compiled sharded training step over the trainable-leaf list:
+    (train_leaves, opt_state, target) → (train_leaves, opt_state, loss).
+    Leaves/optimizer state replicated, target row-sharded; the update itself
+    is replicated elementwise work."""
+
+    @jax.jit
+    def step(train_leaves, opt_state: Any, target: jax.Array):
+        loss, grads = sharded_loss_and_grad(train_leaves, merge, cfg, target, mesh)
+        updates, opt_state = tx.update(grads, opt_state, train_leaves)
+        train_leaves = optax.apply_updates(train_leaves, updates)
+        return train_leaves, opt_state, loss
+
+    return step
+
+
+def shard_target(target: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a target image with rows sharded over the mesh."""
+    return jax.device_put(target, NamedSharding(mesh, P(TILE_AXIS, None, None)))

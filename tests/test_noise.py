@@ -1,0 +1,96 @@
+"""Noise unit tests: determinism, range, statistics, continuity, and the
+analytic derivative vs finite differences (SURVEY.md §5 unit level)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpgpuraytrace_tpu.ops.noise import fbm2, noise2
+
+
+def _grid(n=64, lo=-10.0, hi=10.0):
+    xs = jnp.linspace(lo, hi, n)
+    zs = jnp.linspace(lo, hi, n) + 0.317
+    return jnp.meshgrid(xs, zs, indexing="ij")
+
+
+def test_noise2_deterministic_and_bounded():
+    x, z = _grid()
+    v1, _, _ = noise2(x, z, 7)
+    v2, _, _ = noise2(x, z, 7)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    assert np.all(np.abs(np.asarray(v1)) <= 1.0 + 1e-5)
+
+
+def test_noise2_seed_changes_field():
+    x, z = _grid()
+    v1, _, _ = noise2(x, z, 7)
+    v2, _, _ = noise2(x, z, 8)
+    assert not np.allclose(np.asarray(v1), np.asarray(v2))
+
+
+def test_noise2_zero_at_lattice():
+    # Gradient noise is exactly 0 at integer lattice points.
+    ij = jnp.arange(-5, 6, dtype=jnp.float32)
+    x, z = jnp.meshgrid(ij, ij, indexing="ij")
+    v, _, _ = noise2(x, z, 3)
+    np.testing.assert_allclose(np.asarray(v), 0.0, atol=1e-6)
+
+
+def test_noise2_statistics():
+    x, z = _grid(n=256, lo=-50, hi=50)
+    v, _, _ = noise2(x, z, 11)
+    v = np.asarray(v)
+    assert abs(v.mean()) < 0.05  # zero-mean
+    assert 0.05 < v.std() < 0.5  # non-degenerate
+
+
+def test_noise2_analytic_derivative_matches_fd():
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (512,), minval=-8.0, maxval=8.0)
+    x, z = pts[:256], pts[256:]
+    _, dx, dz = noise2(x, z, 7)
+    eps = 1e-3
+    vp, _, _ = noise2(x + eps, z, 7)
+    vm, _, _ = noise2(x - eps, z, 7)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray((vp - vm) / (2 * eps)), atol=2e-3)
+    vp, _, _ = noise2(x, z + eps, 7)
+    vm, _, _ = noise2(x, z - eps, 7)
+    np.testing.assert_allclose(np.asarray(dz), np.asarray((vp - vm) / (2 * eps)), atol=2e-3)
+
+
+def test_noise2_continuity_across_cell_boundary():
+    # Value must be continuous crossing an integer lattice line.
+    z = jnp.linspace(0.1, 0.9, 16)
+    below, _, _ = noise2(jnp.full_like(z, 2.0 - 1e-5), z, 7)
+    above, _, _ = noise2(jnp.full_like(z, 2.0 + 1e-5), z, 7)
+    np.testing.assert_allclose(np.asarray(below), np.asarray(above), atol=1e-3)
+
+
+def test_fbm2_linear_in_amplitudes():
+    # fBm is linear in the amplitude vector (SURVEY.md §5 octave linearity).
+    x, z = _grid(n=32)
+    a = jnp.asarray([0.5, 0.25, 0.125], jnp.float32)
+    v1, _, _ = fbm2(x, z, a, 2.0, 7)
+    v2, _, _ = fbm2(x, z, 2.0 * a, 2.0, 7)
+    np.testing.assert_allclose(np.asarray(v2), 2 * np.asarray(v1), rtol=1e-5, atol=1e-6)
+    # And additive across disjoint octaves.
+    va, _, _ = fbm2(x, z, jnp.asarray([0.5, 0.0, 0.0]), 2.0, 7)
+    vb, _, _ = fbm2(x, z, jnp.asarray([0.0, 0.25, 0.125]), 2.0, 7)
+    np.testing.assert_allclose(np.asarray(va + vb), np.asarray(v1), rtol=1e-5, atol=1e-6)
+
+
+def test_fbm2_amplitude_gradient():
+    # d(fbm)/d(amplitudes) via autodiff == per-octave noise values.
+    x = jnp.float32(1.37)
+    z = jnp.float32(-2.41)
+    a = jnp.asarray([0.5, 0.25], jnp.float32)
+
+    def f(amps):
+        v, _, _ = fbm2(x, z, amps, 2.0, 7)
+        return v
+
+    g = jax.grad(f)(a)
+    n0, _, _ = noise2(x, z, 7)
+    n1, _, _ = noise2(x * 2.0, z * 2.0, 8)
+    np.testing.assert_allclose(np.asarray(g), np.asarray([n0, n1]), rtol=1e-5, atol=1e-6)
