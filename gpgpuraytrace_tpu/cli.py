@@ -34,12 +34,16 @@ def _cfg_from_args(args) -> "RenderConfig":
 
     h, w = _parse_size(args.size)
     on_tpu = jax.default_backend() == "tpu"
+    volumetric = getattr(args, "volumetric", False)
     return RenderConfig(
         height=h,
         width=w,
         max_steps=args.max_steps,
         num_octaves=args.octaves,
         use_pallas=args.pallas if args.pallas is not None else on_tpu,
+        volumetric=volumetric,
+        # A 3D-warped field is not a height bound; step conservatively.
+        step_relax=0.4 if volumetric else 0.7,
     )
 
 
@@ -50,7 +54,7 @@ def cmd_render(args):
     from gpgpuraytrace_tpu.utils.image import write_npy, write_png
 
     cfg = _cfg_from_args(args)
-    scene = default_scene(num_octaves=cfg.num_octaves)
+    scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
     t0 = time.perf_counter()
     img = jax.block_until_ready(render_jit(scene, cfg))
     compile_s = time.perf_counter() - t0
@@ -76,9 +80,9 @@ def cmd_fit(args):
     from gpgpuraytrace_tpu.ops.render import render_jit
 
     cfg = _cfg_from_args(args)
-    target_scene = default_scene(num_octaves=cfg.num_octaves)
+    target_scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
     target = jax.block_until_ready(render_jit(target_scene, cfg))
-    scene0 = perturb_scene(target_scene, jax.random.PRNGKey(args.seed))
+    scene0 = perturb_scene(target_scene, jax.random.PRNGKey(args.seed), rel=0.15)
     scene, losses = fit(scene0, cfg, target, steps=args.steps, learning_rate=args.lr)
     print(
         f"fit: loss {losses[0]:.4e} -> {losses[-1]:.4e} over {len(losses)} steps"
@@ -98,20 +102,37 @@ def cmd_fit(args):
 def cmd_fly(args):
     from gpgpuraytrace_tpu.models.scene import default_scene
     from gpgpuraytrace_tpu.ops.flythrough import fly_frames
-    from gpgpuraytrace_tpu.utils.image import write_png
+    from gpgpuraytrace_tpu.utils.image import to_uint8, write_png
 
     cfg = _cfg_from_args(args)
-    scene = default_scene(num_octaves=cfg.num_octaves)
+    scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
     n = 0
-    for idx, frame in fly_frames(scene, cfg, args.frames, batch=args.batch):
-        write_png(os.path.join(args.out, f"frame_{idx:04d}.png"), frame)
-        n += 1
+    # Prefer the native async writer (worker threads encode+write while the
+    # accelerator renders the next batch); fall back to sync Python writes.
+    writer = None
+    try:
+        from gpgpuraytrace_tpu.utils.native_io import AsyncFrameWriter
+
+        writer = AsyncFrameWriter(num_threads=2)
+    except Exception:
+        pass
+    try:
+        for idx, frame in fly_frames(scene, cfg, args.frames, batch=args.batch):
+            path = os.path.join(args.out, f"frame_{idx:04d}.png")
+            if writer is not None:
+                writer.push(path, to_uint8(frame))
+            else:
+                write_png(path, frame)
+            n += 1
+    finally:
+        if writer is not None:
+            writer.close()
     dt = time.perf_counter() - t0
     print(
         f"flythrough: {n} frames {cfg.width}x{cfg.height} in {dt:.1f}s "
-        f"({n / dt:.2f} fps incl. IO)"
+        f"({n / dt:.2f} fps incl. IO, native={writer is not None})"
     )
 
 
@@ -143,6 +164,11 @@ def main(argv=None):
             action=argparse.BooleanOptionalAction,
             help="force fused Pallas kernel on/off (default: on for TPU)",
         )
+        sp.add_argument(
+            "--volumetric",
+            action="store_true",
+            help="3D-warped terrain volume (overhangs); uses a smaller march step",
+        )
 
     sp = sub.add_parser("render", help="render one frame")
     common(sp)
@@ -151,8 +177,8 @@ def main(argv=None):
 
     sp = sub.add_parser("fit", help="recover params from a target image")
     common(sp)
-    sp.add_argument("--steps", type=int, default=200)
-    sp.add_argument("--lr", type=float, default=2e-2)
+    sp.add_argument("--steps", type=int, default=300)
+    sp.add_argument("--lr", type=float, default=5e-3)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("-o", "--out", default="")
     sp.set_defaults(fn=cmd_fit)

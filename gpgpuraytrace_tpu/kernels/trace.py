@@ -31,7 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gpgpuraytrace_tpu.models.scene import RenderConfig, Scene
-from gpgpuraytrace_tpu.ops.noise import fbm2
+from gpgpuraytrace_tpu.ops.field import WARP_GAIN, WARP_LACUNARITY
+from gpgpuraytrace_tpu.ops.noise import fbm3, noise2
 from gpgpuraytrace_tpu.ops.render import render_from_checkpoint
 from gpgpuraytrace_tpu.utils import packing as pk
 
@@ -42,8 +43,9 @@ TILE_W = 128
 # the any-reduction is amortized.
 CHUNK = 8
 
-_NEWTON_ITERS = 3
+_NEWTON_ITERS = 4
 _DENOM_EPS = 1e-4
+_BWD_DENOM_MIN = 1e-2  # keep in sync with ops/march.py
 
 
 def _smoothstep(lo, hi, x):
@@ -51,14 +53,41 @@ def _smoothstep(lo, hi, x):
     return u * u * (3.0 - 2.0 * u)
 
 
-def _terrain(prm, seed, num_octaves, x, z):
-    """Heightfield h and analytic (dh/dx, dh/dz) from packed params."""
+def _fbm_scalar_amps(x, z, amps, lacunarity, seed):
+    """fBm with amplitudes as a Python tuple of traced scalars.
+
+    Mirrors ops.noise.fbm2 but never materializes a small (octaves,) vector:
+    inside a Mosaic kernel a jnp.stack of SMEM scalars in the march loop
+    lowers to scalar-core traffic per step; keeping each amplitude a scalar
+    lets every op stay a (TILE_H, TILE_W) VPU op with scalar broadcasts.
+    """
+    value = jnp.zeros_like(x)
+    d_dx = jnp.zeros_like(x)
+    d_dz = jnp.zeros_like(x)
+    freq = 1.0
+    for i, amp in enumerate(amps):
+        n, nx, nz = noise2(x * freq, z * freq, seed + i)
+        value = value + amp * n
+        d_dx = d_dx + amp * freq * nx
+        d_dz = d_dz + amp * freq * nz
+        freq = freq * lacunarity
+    return value, d_dx, d_dz
+
+
+def _make_terrain(prm, seed, num_octaves):
+    """Hoist every SMEM read once; return a closure over traced scalars."""
     hs = prm[0, pk.HORIZONTAL_SCALE]
-    amps = jnp.stack([prm[0, pk.AMPS + i] for i in range(num_octaves)])
-    n, nx, nz = fbm2(x * hs, z * hs, amps, prm[0, pk.LACUNARITY], seed)
-    h = prm[0, pk.HEIGHT_OFFSET] + prm[0, pk.HEIGHT_SCALE] * n
-    scale = prm[0, pk.HEIGHT_SCALE] * hs
-    return h, scale * nx, scale * nz
+    lac = prm[0, pk.LACUNARITY]
+    h_off = prm[0, pk.HEIGHT_OFFSET]
+    h_scale = prm[0, pk.HEIGHT_SCALE]
+    amps = tuple(prm[0, pk.AMPS + i] for i in range(num_octaves))
+
+    def terrain(x, z):
+        n, nx, nz = _fbm_scalar_amps(x * hs, z * hs, amps, lac, seed)
+        scale = h_scale * hs
+        return h_off + h_scale * n, scale * nx, scale * nz
+
+    return terrain
 
 
 def _trace_kernel(
@@ -101,14 +130,34 @@ def _trace_kernel(
     oy = prm[0, pk.POS + 1]
     oz = prm[0, pk.POS + 2]
 
-    def height_at(t):
+    terrain = _make_terrain(prm, seed, cfg.num_octaves)
+    if cfg.volumetric:
+        w_amp = prm[0, pk.WARP_AMP]
+        w_freq = prm[0, pk.WARP_FREQ]
+
+    def field_grad_at(t):
+        """f(p(t)), its spatial gradient components, and the heightfield h
+        (h feeds the snow/albedo shading terms)."""
         px = ox + t * dx
+        py = oy + t * dy
         pz = oz + t * dz
-        return _terrain(prm, seed, cfg.num_octaves, px, pz)
+        h, hx, hz = terrain(px, pz)
+        f = py - h
+        gx, gy, gz = -hx, jnp.ones_like(h), -hz
+        if cfg.volumetric:
+            n, nx3, ny3, nz3 = fbm3(
+                px * w_freq, py * w_freq, pz * w_freq,
+                cfg.warp_octaves, WARP_LACUNARITY, WARP_GAIN, seed,
+            )
+            f = f - w_amp * n
+            gx = gx - w_amp * w_freq * nx3
+            gy = gy - w_amp * w_freq * ny3
+            gz = gz - w_amp * w_freq * nz3
+        return f, gx, gy, gz, h
 
     def field_at(t):
-        h, _, _ = height_at(t)
-        return (oy + t * dy) - h
+        f, _, _, _, _ = field_grad_at(t)
+        return f
 
     # --- march: fixed-size chunks with whole-tile early exit ---------------
     # Masks are f32 0/1, not bool: Mosaic cannot carry i1 vectors through
@@ -119,45 +168,65 @@ def _trace_kernel(
     active0 = jnp.ones((TILE_H, TILE_W), jnp.float32)
     num_chunks = pl.cdiv(cfg.max_steps, CHUNK)
 
-    def chunk_body(carry):
-        c, t, hit, active = carry
+    def march_step(s):
+        t, prev_t, hit, active = s
+        f = field_at(t)
+        is_hit = jnp.where(f < cfg.hit_eps * t, active, 0.0)
+        advance = active - is_hit  # is_hit ⊆ active
+        step = jnp.maximum(cfg.step_relax * f, cfg.hit_eps)
+        t_new = jnp.minimum(t + step * advance, cfg.t_max)
+        prev_new = jnp.where(advance > 0.0, t, prev_t)
+        hit_new = jnp.maximum(hit, is_hit)
+        active_new = jnp.where(t_new < cfg.t_max, advance, 0.0)
+        return t_new, prev_new, hit_new, active_new
 
-        def step_body(_, s):
-            t, hit, active = s
-            f = field_at(t)
-            is_hit = jnp.where(f < cfg.hit_eps * t, active, 0.0)
-            advance = active - is_hit  # is_hit ⊆ active
-            step = jnp.maximum(cfg.step_relax * f, cfg.hit_eps)
-            t_new = jnp.minimum(t + step * advance, cfg.t_max)
-            hit_new = jnp.maximum(hit, is_hit)
-            active_new = jnp.where(t_new < cfg.t_max, advance, 0.0)
-            return t_new, hit_new, active_new
+    if cfg.march_mode == "chunked":
+        def chunk_body(carry):
+            c, t, prev_t, hit, active = carry
+            t, prev_t, hit, active = jax.lax.fori_loop(
+                0, CHUNK, lambda _, s: march_step(s), (t, prev_t, hit, active)
+            )
+            return c + 1, t, prev_t, hit, active
 
-        t, hit, active = jax.lax.fori_loop(0, CHUNK, step_body, (t, hit, active))
-        return c + 1, t, hit, active
+        def chunk_cond(carry):
+            c, _, _, _, active = carry
+            return (c < num_chunks) & (jnp.max(active) > 0.0)
 
-    def chunk_cond(carry):
-        c, _, _, active = carry
-        return (c < num_chunks) & (jnp.max(active) > 0.0)
-
-    _, t, hitf, _ = jax.lax.while_loop(
-        chunk_cond, chunk_body, (jnp.int32(0), t0, hit0, active0)
-    )
+        _, t, prev_t, hitf, _ = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), t0, t0, hit0, active0)
+        )
+    else:  # "fixed": no early exit — one flat fori_loop over max_steps
+        t, prev_t, hitf, _ = jax.lax.fori_loop(
+            0, cfg.max_steps, lambda _, s: march_step(s), (t0, t0, hit0, active0)
+        )
     hit = hitf > 0.5
 
-    # --- Newton polish with analytic gradient ------------------------------
-    for _ in range(_NEWTON_ITERS):
-        h, hx, hz = height_at(t)
-        f = (oy + t * dy) - h
-        denom = -hx * dx + dy - hz * dz  # ∇f · d
-        safe = hit & (jnp.abs(denom) > _DENOM_EPS)
-        dt = jnp.where(safe, f / jnp.where(safe, denom, 1.0), 0.0)
-        t = jnp.clip(t - dt, cfg.t_min, cfg.t_max)
+    # --- bracketed safeguarded-Newton polish (mirrors ops/march.py) --------
+    lo = prev_t
+    hi = jnp.full_like(t, cfg.t_max)
+    x = t
+    for k in range(_NEWTON_ITERS):
+        f, gx, gy, gz, _ = field_grad_at(x)
+        denom = gx * dx + gy * dy + gz * dz  # ∇f · d
+        down = jnp.maximum(-denom, _BWD_DENOM_MIN)
+        if k == 0:
+            hi = x + jnp.maximum(f, 0.0) / down * 1.25 + cfg.hit_eps
+        safe = jnp.abs(denom) > _DENOM_EPS
+        newton = x - jnp.where(safe, f / jnp.where(safe, denom, 1.0), 0.0)
+        lo = jnp.where(f > 0.0, x, lo)
+        hi = jnp.where(f <= 0.0, x, hi)
+        # Clamp (not bisect) into the bracket: clipping is continuous in the
+        # inputs, so t(θ) stays smooth for well-behaved pixels (they never
+        # clip and follow exact Newton), while divergent steps saturate at
+        # the bracket edge instead of flying off.
+        x_new = jnp.clip(newton, lo, jnp.minimum(hi, cfg.t_max))
+        x = jnp.where(hit & safe, jnp.maximum(x_new, cfg.t_min), x)
+    t = jnp.where(hit, x, t)
 
     # --- shade (componentwise mirror of ops/shade.py) ----------------------
-    h, hx, hz = height_at(t)
-    ninv = jax.lax.rsqrt(hx * hx + 1.0 + hz * hz)
-    nx_, ny_, nz_ = -hx * ninv, ninv, -hz * ninv
+    _, gx, gy, gz, h = field_grad_at(t)
+    ninv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
+    nx_, ny_, nz_ = gx * ninv, gy * ninv, gz * ninv
 
     lx = prm[0, pk.SUN_DIR + 0]
     ly = prm[0, pk.SUN_DIR + 1]

@@ -35,6 +35,13 @@ class NoiseParams:
     seed: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.int32(7)
     )  # integer lattice seed (not differentiable)
+    # Volumetric mode (RenderConfig.volumetric): 3D warp giving overhangs.
+    warp_amplitude: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )  # world-units displacement amplitude
+    warp_frequency: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.25)
+    )  # 1/world-units base frequency of the 3D warp
 
 
 @struct.dataclass
@@ -97,13 +104,19 @@ class RenderConfig:
     num_octaves: int = 6
     use_pallas: bool = True  # fused Pallas kernel vs pure-XLA path
     interpret: bool = False  # Pallas interpreter mode (CPU debugging)
+    march_mode: str = "chunked"  # "chunked": whole-tile early exit between
+    # CHUNK-step blocks; "fixed": plain max_steps fori_loop (no exit checks)
+    volumetric: bool = False  # 3D-warped terrain volume (overhangs)
+    warp_octaves: int = 2  # fBm octaves of the volumetric warp
 
 
-def default_scene(num_octaves: int = 6) -> Scene:
+def default_scene(num_octaves: int = 6, volumetric: bool = False) -> Scene:
     """A canonical terrain scene; also the anchor for the golden images.
 
     Amplitudes follow the classic fBm 1/2^i decay the reference uses
-    (BASELINE.json:8 "6-octave fBm terrain").
+    (BASELINE.json:8 "6-octave fBm terrain"). With ``volumetric`` the scene
+    gets a nonzero 3D warp (overhangs); render with
+    ``RenderConfig(volumetric=True)``.
     """
     f = jnp.float32
     amps = jnp.asarray([0.5 ** i for i in range(num_octaves)], jnp.float32)
@@ -114,6 +127,8 @@ def default_scene(num_octaves: int = 6) -> Scene:
         height_offset=f(0.0),
         horizontal_scale=f(0.05),
         seed=jnp.int32(7),
+        warp_amplitude=f(1.2 if volumetric else 0.0),
+        warp_frequency=f(0.3),
     )
     camera = Camera(
         position=jnp.asarray([0.0, 8.0, -14.0], jnp.float32),

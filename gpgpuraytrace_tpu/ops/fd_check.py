@@ -23,16 +23,26 @@ from gpgpuraytrace_tpu.ops.shade import shade
 
 
 def _stable_hit_mask(
-    get_scene: Callable[[jax.Array], Scene], theta: jax.Array, eps: float, cfg: RenderConfig
+    get_scene: Callable[[jax.Array], Scene],
+    theta: jax.Array,
+    eps: float,
+    cfg: RenderConfig,
+    t_cap: float = 0.1,
 ) -> jax.Array:
-    """Pixels whose hit mask agrees at theta-eps, theta, theta+eps."""
-    masks = []
+    """Pixels where the derivative exists and FD is trustworthy: the hit mask
+    agrees at θ-eps, θ, θ+eps AND the hit distance moves smoothly (|Δt| under
+    ``t_cap``; grazing rays can re-route around ridges chaotically, making
+    both FD and the true derivative meaningless there)."""
+    masks, ts = [], []
     for dt in (-eps, 0.0, eps):
         scene = get_scene(theta + dt)
         o, d = generate_rays(scene.camera, cfg.height, cfg.width)
-        _, hit = march(cfg, o, d, scene.noise)
+        t, hit = march(cfg, o, d, scene.noise)
         masks.append(hit)
-    return (masks[0] == masks[1]) & (masks[1] == masks[2])
+        ts.append(t)
+    stable = (masks[0] == masks[1]) & (masks[1] == masks[2])
+    smooth = (jnp.abs(ts[2] - ts[0]) < t_cap) & (jnp.abs(ts[1] - ts[0]) < t_cap)
+    return stable & smooth
 
 
 def fd_check_scalar(

@@ -35,8 +35,16 @@ import jax.numpy as jnp
 from gpgpuraytrace_tpu.models.scene import NoiseParams, RenderConfig
 from gpgpuraytrace_tpu.ops.field import field, field_and_grad
 
-_NEWTON_ITERS = 3
+_NEWTON_ITERS = 4
 _DENOM_EPS = 1e-4
+# Backward-pass conditioning: at a legitimate hit the ray crosses the surface
+# from above, so ∇f·d < 0. As |∇f·d| → 0 (grazing / silhouette rays) the
+# implicit gradient 1/(∇f·d) blows up; those few pixels would dominate every
+# summed pixel-loss gradient with near-random sign (the true derivative is
+# undefined at the silhouette). Clamping the denominator to at most
+# -_BWD_DENOM_MIN bounds the bias instead of admitting unbounded variance —
+# the standard conditioning trick in differentiable sphere tracing.
+_BWD_DENOM_MIN = 1e-2
 
 
 def _march_loop(
@@ -50,36 +58,56 @@ def _march_loop(
     steps0 = jnp.zeros(shape, jnp.int32)
 
     def body(_, carry):
-        t, hit, active, steps = carry
+        t, prev_t, hit, active, steps = carry
         p = ray_o + t[..., None] * ray_d
-        f = field(p, noise)
+        f = field(p, noise, cfg.volumetric, cfg.warp_octaves)
         is_hit = active & (f < cfg.hit_eps * t)
         advance = active & ~is_hit
         step = jnp.maximum(cfg.step_relax * f, cfg.hit_eps)
         t_new = jnp.where(advance, t + step, t)
         return (
             jnp.minimum(t_new, cfg.t_max),
+            jnp.where(advance, t, prev_t),  # last t before the current one
             hit | is_hit,
             advance & (t_new < cfg.t_max),
             steps + advance.astype(jnp.int32),
         )
 
-    t, hit, _, steps = jax.lax.fori_loop(
-        0, cfg.max_steps, body, (t0, hit0, active0, steps0)
+    t, prev_t, hit, _, steps = jax.lax.fori_loop(
+        0, cfg.max_steps, body, (t0, t0, hit0, active0, steps0)
     )
 
-    # Newton polish at hits: t -= f / (∇f·d), using the analytic gradient.
-    for _ in range(_NEWTON_ITERS):
-        p = ray_o + t[..., None] * ray_d
-        f, grad = field_and_grad(p, noise)
+    # Bracketed safeguarded-Newton polish at hits. Plain Newton can diverge
+    # on high-curvature (volumetric) fields; the bracket [prev_t, hi]
+    # contains the crossing (f(prev_t) > 0; hi is the first Newton estimate
+    # with 25% margin), and any Newton step leaving the current bracket
+    # falls back to bisection. Bracket bounds tighten by sign each iteration.
+    lo = prev_t
+    hi = jnp.full_like(t, cfg.t_max)
+    x = t
+    for k in range(_NEWTON_ITERS):
+        p = ray_o + x[..., None] * ray_d
+        f, grad = field_and_grad(p, noise, cfg.volumetric, cfg.warp_octaves)
         denom = jnp.sum(grad * ray_d, axis=-1)
-        safe = hit & (jnp.abs(denom) > _DENOM_EPS)
-        dt = jnp.where(safe, f / jnp.where(safe, denom, 1.0), 0.0)
-        t = jnp.clip(t - dt, cfg.t_min, cfg.t_max)
+        down = jnp.maximum(-denom, _BWD_DENOM_MIN)  # descent rate along ray
+        if k == 0:
+            hi = x + jnp.maximum(f, 0.0) / down * 1.25 + cfg.hit_eps
+        safe = jnp.abs(denom) > _DENOM_EPS
+        newton = x - jnp.where(safe, f / jnp.where(safe, denom, 1.0), 0.0)
+        lo = jnp.where(f > 0.0, x, lo)
+        hi = jnp.where(f <= 0.0, x, hi)
+        # Clamp (not bisect) into the bracket: clipping is continuous in the
+        # inputs, so t(θ) stays smooth for well-behaved pixels (they never
+        # clip and follow exact Newton), while divergent steps saturate at
+        # the bracket edge instead of flying off.
+        x_new = jnp.clip(newton, lo, jnp.minimum(hi, cfg.t_max))
+        x = jnp.where(hit & safe, jnp.maximum(x_new, cfg.t_min), x)
+    t = jnp.where(hit, x, t)
     return t, hit, steps
 
 
 def _march_bwd_core(
+    cfg: RenderConfig,
     ray_o: jax.Array,
     ray_d: jax.Array,
     noise: NoiseParams,
@@ -89,12 +117,15 @@ def _march_bwd_core(
 ):
     """Shared implicit-function VJP: cotangent on t → (ō, d̄, noise_bar)."""
     p = jax.lax.stop_gradient(ray_o + t[..., None] * ray_d)
-    _, grad_p = field_and_grad(p, noise)
+    _, grad_p = field_and_grad(p, noise, cfg.volumetric, cfg.warp_octaves)
     denom = jnp.sum(grad_p * ray_d, axis=-1)
-    safe = hit & (jnp.abs(denom) > _DENOM_EPS)
-    scale = jnp.where(safe, -ct_t / jnp.where(safe, denom, 1.0), 0.0)
+    # Only downward crossings are true hits; clamp |denom| away from zero.
+    denom = jnp.minimum(denom, -_BWD_DENOM_MIN)
+    scale = jnp.where(hit, -ct_t / denom, 0.0)
 
-    _, pullback = jax.vjp(lambda n: field(p, n), noise)
+    _, pullback = jax.vjp(
+        lambda n: field(p, n, cfg.volumetric, cfg.warp_octaves), noise
+    )
     (noise_bar,) = pullback(scale)
     o_bar = scale[..., None] * grad_p
     d_bar = (scale * t)[..., None] * grad_p
@@ -116,14 +147,14 @@ def _march_fwd(cfg, ray_o, ray_d, noise):
 def _march_bwd(cfg, res, cotangents):
     ray_o, ray_d, noise, t, hit = res
     ct_t, _ = cotangents  # hit is boolean → float0 cotangent, ignored
-    return _march_bwd_core(ray_o, ray_d, noise, t, hit, ct_t)
+    return _march_bwd_core(cfg, ray_o, ray_d, noise, t, hit, ct_t)
 
 
 march.defvjp(_march_fwd, _march_bwd)
 
 
-@jax.custom_vjp
-def march_from_saved(ray_o, ray_d, noise, t_saved, hit_saved):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def march_from_saved(cfg: RenderConfig, ray_o, ray_d, noise, t_saved, hit_saved):
     """Checkpoint-resume march: forward is a no-op returning the saved hit
     distance (the per-pixel checkpoint written by the fused Pallas forward
     kernel, BASELINE.json:5 "checkpointed re-march backward"); backward is the
@@ -132,14 +163,14 @@ def march_from_saved(ray_o, ray_d, noise, t_saved, hit_saved):
     return t_saved, hit_saved
 
 
-def _mfs_fwd(ray_o, ray_d, noise, t_saved, hit_saved):
+def _mfs_fwd(cfg, ray_o, ray_d, noise, t_saved, hit_saved):
     return (t_saved, hit_saved), (ray_o, ray_d, noise, t_saved, hit_saved)
 
 
-def _mfs_bwd(res, cotangents):
+def _mfs_bwd(cfg, res, cotangents):
     ray_o, ray_d, noise, t, hit = res
     ct_t, _ = cotangents
-    o_bar, d_bar, noise_bar = _march_bwd_core(ray_o, ray_d, noise, t, hit, ct_t)
+    o_bar, d_bar, noise_bar = _march_bwd_core(cfg, ray_o, ray_d, noise, t, hit, ct_t)
     return o_bar, d_bar, noise_bar, jnp.zeros_like(t), None
 
 

@@ -132,6 +132,87 @@ def noise2(x: jax.Array, z: jax.Array, seed) -> tuple[jax.Array, jax.Array, jax.
     return value, d_dx, d_dz
 
 
+def hash3(ix: jax.Array, iy: jax.Array, iz: jax.Array, seed: jax.Array) -> jax.Array:
+    """int32 hash of a 3D integer lattice coordinate (+ seed)."""
+    h = (
+        ix.astype(jnp.int32) * _KX
+        + iy.astype(jnp.int32) * _KY
+        + iz.astype(jnp.int32) * _KZ
+    )
+    return _mix(h + seed.astype(jnp.int32) * _C2)
+
+
+def _grad3(h: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Unit-ish 3D gradient from an int32 hash: three 10-bit uniforms."""
+    gx = (h & 0x3FF).astype(jnp.float32) * (1.0 / 512.0) - 1.0
+    gy = (_lsr(h, 10) & 0x3FF).astype(jnp.float32) * (1.0 / 512.0) - 1.0
+    gz = (_lsr(h, 20) & 0x3FF).astype(jnp.float32) * (1.0 / 512.0) - 1.0
+    inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
+    return gx * inv, gy * inv, gz * inv
+
+
+def noise3(
+    x: jax.Array, y: jax.Array, z: jax.Array, seed
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """3D gradient noise with analytic derivatives: (value, d/dx, d/dy, d/dz).
+
+    The volumetric component of the terrain field (the reference marches
+    "Perlin/fBm noise terrain volumes", BASELINE.json:5); trilinear blend of
+    8 hashed corner gradients with quintic fades, derivative by chain rule.
+    """
+    seed = jnp.asarray(seed)
+    x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    fx, fy, fz = x - x0, y - y0, z - z0
+    ix, iy, iz = x0.astype(jnp.int32), y0.astype(jnp.int32), z0.astype(jnp.int32)
+
+    # Corner dot products and gradients; index c = (i, j, k) bit-packed.
+    n = [None] * 8
+    gx = [None] * 8
+    gy = [None] * 8
+    gz = [None] * 8
+    for c in range(8):
+        i, j, k = c & 1, (c >> 1) & 1, (c >> 2) & 1
+        h = hash3(ix + i, iy + j, iz + k, seed)
+        gxc, gyc, gzc = _grad3(h)
+        n[c] = gxc * (fx - i) + gyc * (fy - j) + gzc * (fz - k)
+        gx[c], gy[c], gz[c] = gxc, gyc, gzc
+
+    u, du = _fade(fx)
+    v, dv = _fade(fy)
+    w, dw = _fade(fz)
+
+    def trilerp(q):
+        q00 = q[0] + u * (q[1] - q[0])
+        q10 = q[2] + u * (q[3] - q[2])
+        q01 = q[4] + u * (q[5] - q[4])
+        q11 = q[6] + u * (q[7] - q[6])
+        q0 = q00 + v * (q10 - q00)
+        q1 = q01 + v * (q11 - q01)
+        return q0 + w * (q1 - q0)
+
+    def bilerp_vw(q):  # blend over v (axis j) and w (axis k) only
+        q0 = q[0] + v * (q[1] - q[0])
+        q1 = q[2] + v * (q[3] - q[2])
+        return q0 + w * (q1 - q0)
+
+    def bilerp_uw(q):  # blend over u (axis i) and w (axis k) only
+        q0 = q[0] + u * (q[1] - q[0])
+        q1 = q[2] + u * (q[3] - q[2])
+        return q0 + w * (q1 - q0)
+
+    def bilerp_uv(q):  # blend over u (axis i) and v (axis j) only
+        q0 = q[0] + u * (q[1] - q[0])
+        q1 = q[2] + u * (q[3] - q[2])
+        return q0 + v * (q1 - q0)
+
+    value = trilerp(n)
+    # Chain rule: fade-weight term + blended corner-gradient term.
+    d_dx = du * bilerp_vw([n[1] - n[0], n[3] - n[2], n[5] - n[4], n[7] - n[6]]) + trilerp(gx)
+    d_dy = dv * bilerp_uw([n[2] - n[0], n[3] - n[1], n[6] - n[4], n[7] - n[5]]) + trilerp(gy)
+    d_dz = dw * bilerp_uv([n[4] - n[0], n[5] - n[1], n[6] - n[2], n[7] - n[3]]) + trilerp(gz)
+    return value, d_dx, d_dy, d_dz
+
+
 def fbm2(
     x: jax.Array,
     z: jax.Array,
@@ -161,3 +242,32 @@ def fbm2(
         d_dz = d_dz + amp * freq * nz
         freq = freq * lac
     return value, d_dx, d_dz
+
+
+def fbm3(
+    x: jax.Array,
+    y: jax.Array,
+    z: jax.Array,
+    num_octaves: int,
+    lacunarity,
+    gain,
+    seed,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """3D fBm with geometric amplitude decay ``gain**i`` (the volumetric warp
+    octave stack). Returns (value, d/dx, d/dy, d/dz); differentiable w.r.t.
+    the point and ``gain``/``lacunarity``."""
+    value = jnp.zeros_like(jnp.asarray(x, jnp.float32))
+    d_dx = jnp.zeros_like(value)
+    d_dy = jnp.zeros_like(value)
+    d_dz = jnp.zeros_like(value)
+    freq = 1.0
+    amp = 1.0
+    for i in range(num_octaves):
+        n, nx, ny, nz = noise3(x * freq, y * freq, z * freq, jnp.asarray(seed) + 101 + i)
+        value = value + amp * n
+        d_dx = d_dx + amp * freq * nx
+        d_dy = d_dy + amp * freq * ny
+        d_dz = d_dz + amp * freq * nz
+        freq = freq * lacunarity
+        amp = amp * gain
+    return value, d_dx, d_dy, d_dz

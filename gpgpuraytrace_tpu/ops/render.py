@@ -30,7 +30,10 @@ def render_jax(
     """
     ray_o, ray_d = generate_rays(scene.camera, cfg.height, cfg.width, row0, local_height)
     t, hit = march(cfg, ray_o, ray_d, scene.noise)
-    return shade(ray_o, ray_d, t, hit, scene.noise, scene.materials)
+    return shade(
+        ray_o, ray_d, t, hit, scene.noise, scene.materials,
+        cfg.volumetric, cfg.warp_octaves,
+    )
 
 
 def render_from_checkpoint(
@@ -49,8 +52,11 @@ def render_from_checkpoint(
     implicit-function VJP of ``march_from_saved`` — no forward re-march.
     """
     ray_o, ray_d = generate_rays(scene.camera, cfg.height, cfg.width, row0, local_height)
-    t, hit = march_from_saved(ray_o, ray_d, scene.noise, t_saved, hit_saved)
-    return shade(ray_o, ray_d, t, hit, scene.noise, scene.materials)
+    t, hit = march_from_saved(cfg, ray_o, ray_d, scene.noise, t_saved, hit_saved)
+    return shade(
+        ray_o, ray_d, t, hit, scene.noise, scene.materials,
+        cfg.volumetric, cfg.warp_octaves,
+    )
 
 
 def render(

@@ -75,17 +75,25 @@ def shade(
     hit: jax.Array,
     noise: NoiseParams,
     mat: Materials,
+    volumetric: bool = False,
+    warp_octaves: int = 2,
 ) -> jax.Array:
     """Full shading from the march result → linear RGB in [0, ~1.5].
 
-    Normals come from the analytic heightfield gradient (exact, zero extra
-    field taps — replaces the reference's central-difference estimate).
+    Normals come from the analytic field gradient (exact, zero extra field
+    taps — replaces the reference's central-difference estimate). In
+    volumetric mode the gradient includes the 3D warp term.
     """
     p = ray_o + t[..., None] * ray_d
     h, dh_dx, dh_dz = terrain_height(p[..., 0], p[..., 2], noise)
-    normal = _normalize(
-        jnp.stack([-dh_dx, jnp.ones_like(h), -dh_dz], axis=-1)
-    )
+    if volumetric:
+        from gpgpuraytrace_tpu.ops.field import surface_normal
+
+        normal = surface_normal(p, noise, volumetric, warp_octaves)
+    else:
+        normal = _normalize(
+            jnp.stack([-dh_dx, jnp.ones_like(h), -dh_dz], axis=-1)
+        )
     sky = sky_color(ray_d, mat)
     surf = surface_color(p, normal, mat, h)
     surf = apply_fog(surf, sky, t, mat)

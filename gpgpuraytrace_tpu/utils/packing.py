@@ -39,7 +39,9 @@ FOG_DENSITY = 40
 SKY_ZENITH = 41  # 3
 SKY_HORIZON = 44  # 3
 ROW0 = 47  # first image row of this block (tile sharding offset)
-AMPS = 48  # num_octaves amplitudes
+WARP_AMP = 48  # volumetric 3D warp amplitude
+WARP_FREQ = 49  # volumetric 3D warp base frequency
+AMPS = 50  # num_octaves amplitudes
 
 
 def pack_scene(
@@ -77,6 +79,8 @@ def pack_scene(
         m.sky_zenith,
         m.sky_horizon,
         jnp.asarray(row0, jnp.float32)[None],
+        n.warp_amplitude[None],
+        n.warp_frequency[None],
         n.amplitudes,
     ]
     packed = jnp.concatenate([jnp.asarray(p, jnp.float32).reshape(-1) for p in parts])

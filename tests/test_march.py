@@ -113,7 +113,7 @@ def test_march_from_saved_matches_march_grads():
 
     def via_saved(h0):
         t, _ = march_from_saved(
-            o, d, dataclasses.replace(noise, height_offset=h0), t_saved, hit_saved
+            CFG, o, d, dataclasses.replace(noise, height_offset=h0), t_saved, hit_saved
         )
         return t[0]
 

@@ -1,0 +1,105 @@
+"""Distributed tests on 8 virtual CPU devices (SURVEY.md §5 distributed
+level): sharded render == single-device render; psum'd grads == unsharded
+grads; sharded fit step runs."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gpgpuraytrace_tpu.models.scene import RenderConfig, default_scene
+from gpgpuraytrace_tpu.ops.fit import partition_scene
+from gpgpuraytrace_tpu.ops.render import render_jax
+from gpgpuraytrace_tpu.parallel.mesh import make_mesh
+from gpgpuraytrace_tpu.parallel.sharded import (
+    make_sharded_fit_step,
+    shard_target,
+    sharded_loss_and_grad,
+    sharded_render,
+)
+
+# Small march budget and a 4-device sub-mesh: shard_map + value_and_grad
+# compile time on the CPU test backend grows steeply with march length and
+# device count; correctness is independent of both (dryrun_multichip and the
+# TPU bench exercise the full-size path).
+CFG = RenderConfig(height=16, width=32, max_steps=8, num_octaves=2, use_pallas=False)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(jax.devices()[:4])
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return default_scene(num_octaves=2)
+
+
+def test_sharded_render_matches_single_device(mesh, scene):
+    sharded = sharded_render(scene, CFG, mesh)
+    single = render_jax(scene, CFG)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_render_output_sharding(mesh, scene):
+    out = sharded_render(scene, CFG, mesh)
+    assert out.shape == (CFG.height, CFG.width, 3)
+    # Output must actually be sharded over rows, one 8-row band per device.
+    assert len(out.sharding.device_set) == mesh.devices.size
+
+
+def test_sharded_grads_match_unsharded(mesh, scene):
+    target = render_jax(
+        dataclasses.replace(
+            scene,
+            noise=dataclasses.replace(
+                scene.noise, amplitudes=scene.noise.amplitudes * 1.2
+            ),
+        ),
+        CFG,
+    )
+    train_leaves, merge = partition_scene(scene)
+
+    loss_sh, grads_sh = sharded_loss_and_grad(
+        train_leaves, merge, CFG, shard_target(target, mesh), mesh
+    )
+
+    def unsharded_loss(leaves):
+        img = render_jax(merge(leaves), CFG)
+        d = img - target
+        return jnp.mean(d * d)
+
+    loss_un, grads_un = jax.value_and_grad(unsharded_loss)(train_leaves)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_un), rtol=1e-5)
+    for g_sh, g_un in zip(grads_sh, grads_un):
+        np.testing.assert_allclose(
+            np.asarray(g_sh), np.asarray(g_un), rtol=1e-4, atol=1e-7
+        )
+
+
+def test_sharded_fit_step_decreases_loss(mesh, scene):
+    target = render_jax(scene, CFG)
+    bad = dataclasses.replace(
+        scene,
+        noise=dataclasses.replace(
+            scene.noise, amplitudes=scene.noise.amplitudes * 1.3
+        ),
+    )
+    train_leaves, merge = partition_scene(bad)
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(train_leaves)
+    step = make_sharded_fit_step(CFG, mesh, merge, tx)
+    target_sh = shard_target(target, mesh)
+
+    losses = []
+    for _ in range(10):
+        train_leaves, opt_state, loss = step(train_leaves, opt_state, target_sh)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
