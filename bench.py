@@ -2,67 +2,129 @@
 headline metric, BASELINE.json:2). Prints ONE JSON line.
 
 The reference publishes no numbers (BASELINE.json:13 "published": {}), so
-``vs_baseline`` is measured against this framework's own pure-XLA (non-Pallas)
-path on the same hardware — i.e. the speedup the fused Pallas kernel delivers
-over letting XLA schedule the march, which is the honest available baseline.
+``vs_baseline`` is measured against this framework's own pure-XLA
+(non-Pallas) path on the same hardware — i.e. the speedup the fused Pallas
+kernel delivers over letting XLA schedule the march, which is the honest
+available baseline.
+
+Robustness: every measurement runs in a child process under a hard timeout,
+so a wedged TPU tunnel or a pathological kernel compile degrades the
+benchmark (variant reported as null / CPU fallback) instead of hanging the
+driver.
 """
 
 from __future__ import annotations
 
 import json
-import time
+import os
+import subprocess
+import sys
+
+_CHILD_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "480"))
+
+_CHILD_CODE = r"""
+import json, sys, time
+use_pallas = sys.argv[1] == "1"
+h, w, octaves, iters = (int(a) for a in sys.argv[2:6])
+force_cpu = sys.argv[6] == "1"
+
+import jax
+if force_cpu:
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from gpgpuraytrace_tpu.models.scene import RenderConfig, default_scene
+from gpgpuraytrace_tpu.ops.fit import partition_scene
+from gpgpuraytrace_tpu.ops.render import render
+
+scene = default_scene(num_octaves=octaves)
+cfg = RenderConfig(height=h, width=w, max_steps=128, num_octaves=octaves,
+                   use_pallas=use_pallas)
+# Gradients w.r.t. every float scene leaf (noise + camera + materials) —
+# the full fwd+bwd path of the fit loop.
+leaves, merge = partition_scene(scene, trainable=lambda name: True)
+
+def loss(leaves):
+    img = render(merge(leaves), cfg)
+    return jnp.mean(img * img)
+
+step = jax.jit(jax.value_and_grad(loss))
+t0 = time.perf_counter()
+jax.block_until_ready(step(leaves))
+compile_s = time.perf_counter() - t0
+jax.block_until_ready(step(leaves))  # warm
+t0 = time.perf_counter()
+for _ in range(iters):
+    out = step(leaves)
+jax.block_until_ready(out)
+sec = (time.perf_counter() - t0) / iters
+print(json.dumps({
+    "rays_per_sec": h * w / sec,
+    "ms_per_step": sec * 1e3,
+    "compile_s": compile_s,
+    "backend": jax.default_backend(),
+}))
+"""
 
 
-def _time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    import jax
-
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _run_variant(use_pallas: bool, h: int, w: int, octaves: int, iters: int,
+                 force_cpu: bool = False):
+    """Run one bench variant in a child process; None on timeout/crash."""
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable, "-c", _CHILD_CODE,
+                "1" if use_pallas else "0",
+                str(h), str(w), str(octaves), str(iters),
+                "1" if force_cpu else "0",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=_CHILD_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
 
 
 def run_bench(size=(512, 512), octaves: int = 6, iters: int = 10) -> dict:
-    import jax
-    import jax.numpy as jnp
-
-    from gpgpuraytrace_tpu.models.scene import RenderConfig, default_scene
-    from gpgpuraytrace_tpu.ops.render import render
-
     h, w = size
-    on_tpu = jax.default_backend() == "tpu"
-    scene = default_scene(num_octaves=octaves)
+    xla = _run_variant(False, h, w, octaves, iters)
+    pallas = _run_variant(True, h, w, octaves, iters)
+    note = None
+    if xla is None and pallas is None:
+        # Device path unavailable (e.g. wedged tunnel): CPU fallback so the
+        # harness still emits a valid measurement, clearly labeled.
+        xla = _run_variant(False, h, w, octaves, max(2, iters // 5), force_cpu=True)
+        note = "tpu_unavailable_cpu_fallback"
 
-    def fwd_bwd_loss(cfg):
-        def loss(scene):
-            img = render(scene, cfg)
-            return jnp.mean(img * img)
-
-        return jax.jit(jax.value_and_grad(loss))
-
-    results = {}
-    for use_pallas in ([False, True] if on_tpu else [False]):
-        cfg = RenderConfig(
-            height=h, width=w, max_steps=128, num_octaves=octaves,
-            use_pallas=use_pallas,
-        )
-        step = fwd_bwd_loss(cfg)
-        sec = _time_fn(step, scene, iters=iters)
-        results["pallas" if use_pallas else "xla"] = h * w / sec
-
-    main = results.get("pallas", results["xla"])
-    baseline = results["xla"]
-    return {
+    main = pallas or xla
+    baseline = xla or pallas
+    detail = {}
+    if xla:
+        detail["xla"] = round(xla["rays_per_sec"])
+    if pallas:
+        detail["pallas"] = round(pallas["rays_per_sec"])
+    result = {
         "metric": "rays_per_sec_fwd_bwd_512x512",
-        "value": main,
+        "value": main["rays_per_sec"] if main else 0.0,
         "unit": "rays/s/chip",
-        "vs_baseline": main / baseline,
-        "detail": {k: round(v) for k, v in results.items()},
-        "backend": jax.default_backend(),
+        "vs_baseline": (main["rays_per_sec"] / baseline["rays_per_sec"])
+        if (main and baseline)
+        else 0.0,
+        "detail": detail,
+        "backend": main.get("backend") if main else "none",
     }
+    if note:
+        result["note"] = note
+    return result
 
 
 if __name__ == "__main__":

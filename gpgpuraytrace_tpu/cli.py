@@ -44,6 +44,7 @@ def _cfg_from_args(args) -> "RenderConfig":
         volumetric=volumetric,
         # A 3D-warped field is not a height bound; step conservatively.
         step_relax=0.4 if volumetric else 0.7,
+        supersample=getattr(args, "supersample", 1),
     )
 
 
@@ -164,6 +165,7 @@ def main(argv=None):
             action=argparse.BooleanOptionalAction,
             help="force fused Pallas kernel on/off (default: on for TPU)",
         )
+        sp.add_argument("--supersample", type=int, default=1, help="SSAA factor")
         sp.add_argument(
             "--volumetric",
             action="store_true",

@@ -32,16 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpgpuraytrace_tpu.models.scene import RenderConfig, Scene
 from gpgpuraytrace_tpu.ops.field import WARP_GAIN, WARP_LACUNARITY
-from gpgpuraytrace_tpu.ops.noise import fbm3, noise2
+from gpgpuraytrace_tpu.ops.noise import fbm3, fbm3_value, noise2, noise2_value
 from gpgpuraytrace_tpu.ops.render import render_from_checkpoint
 from gpgpuraytrace_tpu.utils import packing as pk
 
-TILE_H = 32
 TILE_W = 128
 # March chunking: after every CHUNK steps the tile checks "is every lane
 # done?" and exits early. Small enough to exit promptly, large enough that
 # the any-reduction is amortized.
 CHUNK = 8
+
 
 _NEWTON_ITERS = 4
 _DENOM_EPS = 1e-4
@@ -74,6 +74,18 @@ def _fbm_scalar_amps(x, z, amps, lacunarity, seed):
     return value, d_dx, d_dz
 
 
+def _fbm_scalar_amps_value(x, z, amps, lacunarity, seed):
+    """Value-only variant of _fbm_scalar_amps — the march-loop fast path
+    (roughly 40% fewer live values / ops per step than the derivative form).
+    """
+    value = jnp.zeros_like(x)
+    freq = 1.0
+    for i, amp in enumerate(amps):
+        value = value + amp * noise2_value(x * freq, z * freq, seed + i)
+        freq = freq * lacunarity
+    return value
+
+
 def _make_terrain(prm, seed, num_octaves):
     """Hoist every SMEM read once; return a closure over traced scalars."""
     hs = prm[0, pk.HORIZONTAL_SCALE]
@@ -99,11 +111,12 @@ def _trace_kernel(
     *,
     cfg: RenderConfig,
 ):
-    """One (TILE_H, TILE_W) pixel tile: full raygen+march+shade."""
+    """One (tile_h, TILE_W) pixel tile: full raygen+march+shade."""
     prm = prm_ref
     seed = seed_ref[0, 0]
     i = pl.program_id(0)
     j = pl.program_id(1)
+    TILE_H = cfg.tile_h
 
     rows = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
@@ -131,6 +144,11 @@ def _trace_kernel(
     oz = prm[0, pk.POS + 2]
 
     terrain = _make_terrain(prm, seed, cfg.num_octaves)
+    hs = prm[0, pk.HORIZONTAL_SCALE]
+    lac = prm[0, pk.LACUNARITY]
+    h_off = prm[0, pk.HEIGHT_OFFSET]
+    h_scale = prm[0, pk.HEIGHT_SCALE]
+    amps = tuple(prm[0, pk.AMPS + i] for i in range(cfg.num_octaves))
     if cfg.volumetric:
         w_amp = prm[0, pk.WARP_AMP]
         w_freq = prm[0, pk.WARP_FREQ]
@@ -156,7 +174,19 @@ def _trace_kernel(
         return f, gx, gy, gz, h
 
     def field_at(t):
-        f, _, _, _, _ = field_grad_at(t)
+        """Value-only field — the march-loop fast path (no derivative
+        chains: ~40% smaller live set per step, which is what decides
+        register pressure vs VMEM spills in the hot loop)."""
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        n = _fbm_scalar_amps_value(px * hs, pz * hs, amps, lac, seed)
+        f = py - (h_off + h_scale * n)
+        if cfg.volumetric:
+            f = f - w_amp * fbm3_value(
+                px * w_freq, py * w_freq, pz * w_freq,
+                cfg.warp_octaves, WARP_LACUNARITY, WARP_GAIN, seed,
+            )
         return f
 
     # --- march: fixed-size chunks with whole-tile early exit ---------------
@@ -285,8 +315,9 @@ def _render_pallas_raw(
     """
     h = cfg.height if local_height is None else local_height
     w = cfg.width
+    th = cfg.tile_h
     packed, seed = pk.pack_scene(scene, cfg.height, w, row0)
-    grid = (pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
+    grid = (pl.cdiv(h, th), pl.cdiv(w, TILE_W))
     kernel = functools.partial(_trace_kernel, cfg=cfg)
     n_params = packed.shape[1]
 
@@ -299,9 +330,9 @@ def _render_pallas_raw(
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
+            pl.BlockSpec((3, th, TILE_W), lambda i, j: (0, i, j)),
+            pl.BlockSpec((th, TILE_W), lambda i, j: (i, j)),
+            pl.BlockSpec((th, TILE_W), lambda i, j: (i, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3, h, w), jnp.float32),

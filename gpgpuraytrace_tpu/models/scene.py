@@ -108,6 +108,8 @@ class RenderConfig:
     # CHUNK-step blocks; "fixed": plain max_steps fori_loop (no exit checks)
     volumetric: bool = False  # 3D-warped terrain volume (overhangs)
     warp_octaves: int = 2  # fBm octaves of the volumetric warp
+    tile_h: int = 8  # Pallas tile height ((tile_h, 128) f32 pixel tiles)
+    supersample: int = 1  # SSAA factor: render at k× and box-downsample
 
 
 def default_scene(num_octaves: int = 6, volumetric: bool = False) -> Scene:

@@ -75,6 +75,40 @@ def _fade(f: jax.Array) -> tuple[jax.Array, jax.Array]:
     return u, du
 
 
+def noise2_value(x: jax.Array, z: jax.Array, seed) -> jax.Array:
+    """Value-only 2D gradient noise — the march-loop fast path.
+
+    Identical value to ``noise2`` but with no derivative chains, minimizing
+    the live-value set inside Pallas march loops (register pressure is the
+    kernel's limiting resource; XLA DCE would remove the dead chains in
+    pure-JAX code, but being explicit keeps the Mosaic lowering tight).
+    """
+    seed = jnp.asarray(seed)
+    x0 = jnp.floor(x)
+    z0 = jnp.floor(z)
+    fx = x - x0
+    fz = z - z0
+    ix = x0.astype(jnp.int32)
+    iz = z0.astype(jnp.int32)
+
+    g00x, g00z = _grad2(hash2(ix, iz, seed))
+    g10x, g10z = _grad2(hash2(ix + 1, iz, seed))
+    g01x, g01z = _grad2(hash2(ix, iz + 1, seed))
+    g11x, g11z = _grad2(hash2(ix + 1, iz + 1, seed))
+
+    n00 = g00x * fx + g00z * fz
+    n10 = g10x * (fx - 1.0) + g10z * fz
+    n01 = g01x * fx + g01z * (fz - 1.0)
+    n11 = g11x * (fx - 1.0) + g11z * (fz - 1.0)
+
+    u, _ = _fade(fx)
+    v, _ = _fade(fz)
+    k1 = n10 - n00
+    k2 = n01 - n00
+    k3 = n00 - n10 - n01 + n11
+    return n00 + u * k1 + v * k2 + u * v * k3
+
+
 def noise2(x: jax.Array, z: jax.Array, seed) -> tuple[jax.Array, jax.Array, jax.Array]:
     """2D gradient noise: returns (value, d/dx, d/dz), all analytic.
 
@@ -149,6 +183,45 @@ def _grad3(h: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     gz = (_lsr(h, 20) & 0x3FF).astype(jnp.float32) * (1.0 / 512.0) - 1.0
     inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
     return gx * inv, gy * inv, gz * inv
+
+
+def noise3_value(x: jax.Array, y: jax.Array, z: jax.Array, seed) -> jax.Array:
+    """Value-only 3D gradient noise (march fast path; see noise2_value)."""
+    seed = jnp.asarray(seed)
+    x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    fx, fy, fz = x - x0, y - y0, z - z0
+    ix, iy, iz = x0.astype(jnp.int32), y0.astype(jnp.int32), z0.astype(jnp.int32)
+
+    n = [None] * 8
+    for c in range(8):
+        i, j, k = c & 1, (c >> 1) & 1, (c >> 2) & 1
+        gxc, gyc, gzc = _grad3(hash3(ix + i, iy + j, iz + k, seed))
+        n[c] = gxc * (fx - i) + gyc * (fy - j) + gzc * (fz - k)
+
+    u, _ = _fade(fx)
+    v, _ = _fade(fy)
+    w, _ = _fade(fz)
+    q00 = n[0] + u * (n[1] - n[0])
+    q10 = n[2] + u * (n[3] - n[2])
+    q01 = n[4] + u * (n[5] - n[4])
+    q11 = n[6] + u * (n[7] - n[6])
+    q0 = q00 + v * (q10 - q00)
+    q1 = q01 + v * (q11 - q01)
+    return q0 + w * (q1 - q0)
+
+
+def fbm3_value(x, y, z, num_octaves: int, lacunarity, gain, seed) -> jax.Array:
+    """Value-only 3D fBm (march fast path)."""
+    value = jnp.zeros_like(jnp.asarray(x, jnp.float32))
+    freq = 1.0
+    amp = 1.0
+    for i in range(num_octaves):
+        value = value + amp * noise3_value(
+            x * freq, y * freq, z * freq, jnp.asarray(seed) + 101 + i
+        )
+        freq = freq * lacunarity
+        amp = amp * gain
+    return value
 
 
 def noise3(

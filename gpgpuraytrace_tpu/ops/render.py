@@ -10,6 +10,7 @@ into a single traced function XLA fuses end-to-end.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -62,7 +63,22 @@ def render_from_checkpoint(
 def render(
     scene: Scene, cfg: RenderConfig, row0=0.0, local_height: int | None = None
 ) -> jax.Array:
-    """Main entry: fused Pallas path when enabled, pure-XLA fallback."""
+    """Main entry: fused Pallas path when enabled, pure-XLA fallback.
+
+    ``cfg.supersample`` > 1 renders at k× resolution and box-downsamples
+    (differentiable SSAA; full frames only — the sharded row-band path
+    supersamples inside its own band by scaling row0/local_height).
+    """
+    ss = cfg.supersample
+    if ss > 1:
+        hi_cfg = dataclasses.replace(
+            cfg, height=cfg.height * ss, width=cfg.width * ss, supersample=1
+        )
+        lh = None if local_height is None else local_height * ss
+        img = render(scene, hi_cfg, row0 * ss, lh)
+        h = img.shape[0] // ss
+        w = img.shape[1] // ss
+        return img.reshape(h, ss, w, ss, 3).mean(axis=(1, 3))
     if cfg.use_pallas:
         from gpgpuraytrace_tpu.kernels.trace import render_pallas
 

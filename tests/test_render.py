@@ -73,3 +73,21 @@ def test_config2_fbm_render():
     cfg1 = RenderConfig(height=64, width=64, max_steps=128, num_octaves=1, use_pallas=False)
     img1 = np.asarray(render_jax(default_scene(num_octaves=1), cfg1))
     assert not np.allclose(img, img1, atol=0.02)
+
+
+def test_supersample_render():
+    """SSAA: k× render + box downsample, differentiable and shape-correct."""
+    import dataclasses
+
+    cfg = RenderConfig(height=32, width=32, max_steps=48, num_octaves=1, use_pallas=False)
+    cfg_ss = dataclasses.replace(cfg, supersample=2)
+    from gpgpuraytrace_tpu.ops.render import render
+
+    scene = default_scene(num_octaves=1)
+    img = np.asarray(render(scene, cfg))
+    img_ss = np.asarray(render(scene, cfg_ss))
+    assert img_ss.shape == img.shape
+    assert np.isfinite(img_ss).all()
+    # SSAA output is close to the base render but not identical (edges).
+    assert np.abs(img_ss - img).mean() < 0.05
+    assert not np.array_equal(img_ss, img)
