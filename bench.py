@@ -51,10 +51,17 @@ step = jax.jit(jax.value_and_grad(loss))
 t0 = time.perf_counter()
 jax.block_until_ready(step(leaves))
 compile_s = time.perf_counter() - t0
-jax.block_until_ready(step(leaves))  # warm
+# Distinct inputs per iteration: the TPU tunnel in some environments caches
+# (executable, args) pairs, so identical repeat calls can be served from
+# cache and overstate throughput.
+variants = []
+for k in range(iters):
+    eps = jnp.float32(1e-6 * (k + 1))
+    variants.append([leaf + eps for leaf in leaves])
+jax.block_until_ready(step(variants[0]))  # warm
 t0 = time.perf_counter()
-for _ in range(iters):
-    out = step(leaves)
+for v in variants:
+    out = step(v)
 jax.block_until_ready(out)
 sec = (time.perf_counter() - t0) / iters
 print(json.dumps({
@@ -96,9 +103,14 @@ def _run_variant(use_pallas: bool, h: int, w: int, octaves: int, iters: int,
 
 def run_bench(size=(512, 512), octaves: int = 6, iters: int = 10) -> dict:
     h, w = size
-    xla = _run_variant(False, h, w, octaves, iters)
+    # Headline (pallas) first: the xla baseline's fwd+bwd compile can take
+    # many minutes through a remote-compile tunnel and may hit the child
+    # timeout; the headline number must never depend on it.
     pallas = _run_variant(True, h, w, octaves, iters)
+    xla = _run_variant(False, h, w, octaves, iters)
     note = None
+    if pallas and not xla:
+        note = "xla_baseline_timed_out"
     if xla is None and pallas is None:
         # Device path unavailable (e.g. wedged tunnel): CPU fallback so the
         # harness still emits a valid measurement, clearly labeled.

@@ -232,15 +232,12 @@ def _trace_kernel(
     hit = hitf > 0.5
 
     # --- bracketed safeguarded-Newton polish (mirrors ops/march.py) --------
-    lo = prev_t
-    hi = jnp.full_like(t, cfg.t_max)
-    x = t
-    for k in range(_NEWTON_ITERS):
+    # As a fori_loop, not unrolled Python: Mosaic compile time grows
+    # superlinearly with straight-line kernel size, and each refine
+    # iteration inlines a full gradient field evaluation.
+    def refine_once(x, lo, hi):
         f, gx, gy, gz, _ = field_grad_at(x)
         denom = gx * dx + gy * dy + gz * dz  # ∇f · d
-        down = jnp.maximum(-denom, _BWD_DENOM_MIN)
-        if k == 0:
-            hi = x + jnp.maximum(f, 0.0) / down * 1.25 + cfg.hit_eps
         safe = jnp.abs(denom) > _DENOM_EPS
         newton = x - jnp.where(safe, f / jnp.where(safe, denom, 1.0), 0.0)
         lo = jnp.where(f > 0.0, x, lo)
@@ -251,6 +248,25 @@ def _trace_kernel(
         # the bracket edge instead of flying off.
         x_new = jnp.clip(newton, lo, jnp.minimum(hi, cfg.t_max))
         x = jnp.where(hit & safe, jnp.maximum(x_new, cfg.t_min), x)
+        return x, lo, hi
+
+    # First iteration also derives the bracket's upper bound from the local
+    # descent rate (the first Newton estimate with 25% margin).
+    f0, gx0, gy0, gz0, _ = field_grad_at(t)
+    denom0 = gx0 * dx + gy0 * dy + gz0 * dz
+    down0 = jnp.maximum(-denom0, _BWD_DENOM_MIN)
+    hi = t + jnp.maximum(f0, 0.0) / down0 * 1.25 + cfg.hit_eps
+    lo = prev_t
+    safe0 = jnp.abs(denom0) > _DENOM_EPS
+    newton0 = t - jnp.where(safe0, f0 / jnp.where(safe0, denom0, 1.0), 0.0)
+    lo = jnp.where(f0 > 0.0, t, lo)
+    hi = jnp.where(f0 <= 0.0, t, hi)
+    x0r = jnp.clip(newton0, lo, jnp.minimum(hi, cfg.t_max))
+    x = jnp.where(hit & safe0, jnp.maximum(x0r, cfg.t_min), t)
+
+    x, _, _ = jax.lax.fori_loop(
+        0, _NEWTON_ITERS - 1, lambda _, s: refine_once(*s), (x, lo, hi)
+    )
     t = jnp.where(hit, x, t)
 
     # --- shade (componentwise mirror of ops/shade.py) ----------------------
