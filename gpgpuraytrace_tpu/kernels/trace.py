@@ -1,4 +1,5 @@
-"""Fused Pallas TPU kernel: raygen → sphere-trace march → shade, one pass.
+"""Fused Pallas TPU kernels: raygen → sphere-trace march → shade, one pass —
+and the fused backward pass producing parameter gradients.
 
 This is the TPU-native replacement for the reference's two-dispatch GPU
 pipeline (``camerarays.hlsl`` then ``tracescreen.hlsl`` over a D3D11
@@ -9,12 +10,22 @@ march as a chunk-early-exiting loop (a whole tile stops as soon as every
 lane is done — the VPU analogue of the reference's per-thread ``break``),
 analytic-gradient normals, Lambert/fog/sky shading, and the per-pixel hit-t
 **checkpoint** that the custom-VJP backward consumes (BASELINE.json:5
-"checkpointed re-march backward"; the backward itself uses the cheaper
+"checkpointed re-march backward"; the backward uses the cheaper
 implicit-function gradient — see ops/march.py).
+
+The backward is a second fused kernel (``_trace_bwd_kernel``): per tile it
+replays raygen + shade from the saved (t, hit) checkpoint, pulls the output
+cotangent back onto the packed scene-scalar vector with an in-kernel
+``jax.vjp`` (the shade channel), adds the implicit-function march channel
+(scale = -t̄ / (∇f·d) pulled back through one field evaluation — identical
+math to ops/march.py:_march_bwd_core), and reduces each parameter cotangent
+to one scalar per tile, accumulated across the sequential grid into a single
+SMEM vector pulled back through ``pack_scene``. This keeps the entire
+forward+backward step in two Pallas launches with no XLA re-shade pass.
 
 Data layout notes (TPU tiling):
 * Pixels are laid out (H, W) with W on the 128-lane axis; tiles are
-  (TILE_H, TILE_W) = (32, 128) f32 → 8×(8,128) native registers.
+  (TILE_H, TILE_W) = (tile_h, 128) f32 → native (8,128) registers.
 * Color planes are a leading dim: (3, H, W), so no 3-wide trailing axis ever
   exists on device.
 * All per-pixel state (t, hit, ray components) lives as separate (TH, TW)
@@ -86,72 +97,61 @@ def _fbm_scalar_amps_value(x, z, amps, lacunarity, seed):
     return value
 
 
-def _make_terrain(prm, seed, num_octaves):
-    """Hoist every SMEM read once; return a closure over traced scalars."""
-    hs = prm[0, pk.HORIZONTAL_SCALE]
-    lac = prm[0, pk.LACUNARITY]
-    h_off = prm[0, pk.HEIGHT_OFFSET]
-    h_scale = prm[0, pk.HEIGHT_SCALE]
-    amps = tuple(prm[0, pk.AMPS + i] for i in range(num_octaves))
-
-    def terrain(x, z):
-        n, nx, nz = _fbm_scalar_amps(x * hs, z * hs, amps, lac, seed)
-        scale = h_scale * hs
-        return h_off + h_scale * n, scale * nx, scale * nz
-
-    return terrain
+# --- shared tile builders (forward kernel and backward kernel) --------------
+# Every builder takes ``sc``, a scalar accessor ``sc(k) -> traced f32`` over
+# the packed-scene layout (utils/packing.py offsets). The forward kernel
+# reads straight from the SMEM ref; the backward kernel passes a tuple of the
+# same scalars through jax.vjp, so gradients w.r.t. every packed entry fall
+# out of the identical code path.
 
 
-def _trace_kernel(
-    prm_ref,
-    seed_ref,
-    color_ref,
-    t_ref,
-    hit_ref,
-    *,
-    cfg: RenderConfig,
-):
-    """One (tile_h, TILE_W) pixel tile: full raygen+march+shade."""
-    prm = prm_ref
-    seed = seed_ref[0, 0]
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    TILE_H = cfg.tile_h
+def _raygen(sc, cfg: RenderConfig, tile_h: int, i, j):
+    """Per-pixel primary rays for tile (i, j): ((ox,oy,oz), (dx,dy,dz)).
 
+    The role of the reference's camerarays.hlsl (BASELINE.json:5), fused into
+    the same kernel — origins are camera scalars, directions (TH, TW) tiles.
+    """
     rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-        + i.astype(jnp.float32) * TILE_H
-        + prm[0, pk.ROW0]  # tile-sharding row offset (0 for full frames)
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0).astype(jnp.float32)
+        + i.astype(jnp.float32) * tile_h
+        + sc(pk.ROW0)  # tile-sharding row offset (0 for full frames)
     )
     cols = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1).astype(jnp.float32)
         + j.astype(jnp.float32) * TILE_W
     )
     ndc_x = (cols + 0.5) * (2.0 / cfg.width) - 1.0
     ndc_y = 1.0 - (rows + 0.5) * (2.0 / cfg.height)
 
-    tanf = prm[0, pk.TANFOV]
-    aspect = prm[0, pk.ASPECT]
-    sx = tanf * aspect * ndc_x
-    sy = tanf * ndc_y
-    dx = prm[0, pk.FWD + 0] + sx * prm[0, pk.RIGHT + 0] + sy * prm[0, pk.UP + 0]
-    dy = prm[0, pk.FWD + 1] + sx * prm[0, pk.RIGHT + 1] + sy * prm[0, pk.UP + 1]
-    dz = prm[0, pk.FWD + 2] + sx * prm[0, pk.RIGHT + 2] + sy * prm[0, pk.UP + 2]
+    sx = sc(pk.TANFOV) * sc(pk.ASPECT) * ndc_x
+    sy = sc(pk.TANFOV) * ndc_y
+    dx = sc(pk.FWD + 0) + sx * sc(pk.RIGHT + 0) + sy * sc(pk.UP + 0)
+    dy = sc(pk.FWD + 1) + sx * sc(pk.RIGHT + 1) + sy * sc(pk.UP + 1)
+    dz = sc(pk.FWD + 2) + sx * sc(pk.RIGHT + 2) + sy * sc(pk.UP + 2)
     inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-    dx, dy, dz = dx * inv, dy * inv, dz * inv
-    ox = prm[0, pk.POS + 0]
-    oy = prm[0, pk.POS + 1]
-    oz = prm[0, pk.POS + 2]
+    return (sc(pk.POS + 0), sc(pk.POS + 1), sc(pk.POS + 2)), (
+        dx * inv,
+        dy * inv,
+        dz * inv,
+    )
 
-    terrain = _make_terrain(prm, seed, cfg.num_octaves)
-    hs = prm[0, pk.HORIZONTAL_SCALE]
-    lac = prm[0, pk.LACUNARITY]
-    h_off = prm[0, pk.HEIGHT_OFFSET]
-    h_scale = prm[0, pk.HEIGHT_SCALE]
-    amps = tuple(prm[0, pk.AMPS + i] for i in range(cfg.num_octaves))
+
+def _field_fns(sc, seed, cfg: RenderConfig, o, d):
+    """Closures evaluating the terrain field along the ray at distance t.
+
+    Returns (field_grad_at, field_at): the derivative form used by the Newton
+    polish / shading / backward, and the value-only march fast path.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    hs = sc(pk.HORIZONTAL_SCALE)
+    lac = sc(pk.LACUNARITY)
+    h_off = sc(pk.HEIGHT_OFFSET)
+    h_scale = sc(pk.HEIGHT_SCALE)
+    amps = tuple(sc(pk.AMPS + i) for i in range(cfg.num_octaves))
     if cfg.volumetric:
-        w_amp = prm[0, pk.WARP_AMP]
-        w_freq = prm[0, pk.WARP_FREQ]
+        w_amp = sc(pk.WARP_AMP)
+        w_freq = sc(pk.WARP_FREQ)
 
     def field_grad_at(t):
         """f(p(t)), its spatial gradient components, and the heightfield h
@@ -159,15 +159,17 @@ def _trace_kernel(
         px = ox + t * dx
         py = oy + t * dy
         pz = oz + t * dz
-        h, hx, hz = terrain(px, pz)
+        n, nx, nz = _fbm_scalar_amps(px * hs, pz * hs, amps, lac, seed)
+        h = h_off + h_scale * n
+        scale = h_scale * hs
         f = py - h
-        gx, gy, gz = -hx, jnp.ones_like(h), -hz
+        gx, gy, gz = -scale * nx, jnp.ones_like(h), -scale * nz
         if cfg.volumetric:
-            n, nx3, ny3, nz3 = fbm3(
+            n3, nx3, ny3, nz3 = fbm3(
                 px * w_freq, py * w_freq, pz * w_freq,
                 cfg.warp_octaves, WARP_LACUNARITY, WARP_GAIN, seed,
             )
-            f = f - w_amp * n
+            f = f - w_amp * n3
             gx = gx - w_amp * w_freq * nx3
             gy = gy - w_amp * w_freq * ny3
             gz = gz - w_amp * w_freq * nz3
@@ -188,6 +190,83 @@ def _trace_kernel(
                 cfg.warp_octaves, WARP_LACUNARITY, WARP_GAIN, seed,
             )
         return f
+
+    return field_grad_at, field_at
+
+
+def _shade_tile(sc, cfg: RenderConfig, t, hit, d, field_grad_at):
+    """Shading tail (componentwise mirror of ops/shade.py): returns the
+    (c0, c1, c2) color-plane tiles. ``hit`` is a constant bool tile."""
+    dx, dy, dz = d
+    _, gx, gy, gz, h = field_grad_at(t)
+    ninv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
+    nx_, ny_, nz_ = gx * ninv, gy * ninv, gz * ninv
+
+    lx = sc(pk.SUN_DIR + 0)
+    ly = sc(pk.SUN_DIR + 1)
+    lz = sc(pk.SUN_DIR + 2)
+
+    # Sky (for all rays; also the fog tint component).
+    up_amount = jnp.clip(dy, 0.0, 1.0)
+    cos_sun = jnp.clip(dx * lx + dy * ly + dz * lz, 0.0, 1.0)
+    c2 = cos_sun * cos_sun
+    c4 = c2 * c2
+    c8 = c4 * c4
+    c16 = c8 * c8
+    c64 = c16 * c16 * c16 * c16
+    c512 = c64 * c64 * c64 * c64 * c64 * c64 * c64 * c64
+    sun_term = 0.25 * c64 + 1.5 * c512
+
+    steep = _smoothstep(0.85, 0.55, ny_)
+    snow = _smoothstep(sc(pk.SNOW_HEIGHT), sc(pk.SNOW_HEIGHT) + 1.0, h) * (
+        1.0 - steep
+    )
+    diffuse = jnp.clip(nx_ * lx + ny_ * ly + nz_ * lz, 0.0, 1.0)
+    sky_fill = 0.5 + 0.5 * ny_
+    fog = 1.0 - jnp.exp(-sc(pk.FOG_DENSITY) * t)
+
+    out = []
+    for ch in range(3):
+        sky = (
+            sc(pk.SKY_HORIZON + ch)
+            + (sc(pk.SKY_ZENITH + ch) - sc(pk.SKY_HORIZON + ch)) * up_amount
+            + sun_term * sc(pk.SUN_COLOR + ch)
+        )
+        albedo = (
+            sc(pk.ALBEDO_LOW + ch)
+            + (sc(pk.ALBEDO_HIGH + ch) - sc(pk.ALBEDO_LOW + ch)) * steep
+        )
+        albedo = albedo + (sc(pk.SNOW_COLOR + ch) - albedo) * snow
+        light = sc(pk.SUN_COLOR + ch) * diffuse + sc(pk.AMBIENT + ch) * sky_fill
+        surf = albedo * light
+        fog_tint = 0.5 * (sc(pk.FOG_COLOR + ch) + sky)
+        surf = surf + (fog_tint - surf) * fog
+        out.append(jnp.where(hit, surf, sky))
+    return tuple(out)
+
+
+def _trace_kernel(
+    prm_ref,
+    seed_ref,
+    color_ref,
+    t_ref,
+    hit_ref,
+    *,
+    cfg: RenderConfig,
+):
+    """One (tile_h, TILE_W) pixel tile: full raygen+march+shade."""
+    prm = prm_ref
+    seed = seed_ref[0, 0]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    TILE_H = cfg.tile_h
+
+    def sc(k):
+        return prm[0, k]
+
+    o, d = _raygen(sc, cfg, TILE_H, i, j)
+    dx, dy, dz = d
+    field_grad_at, field_at = _field_fns(sc, seed, cfg, o, d)
 
     # --- march: fixed-size chunks with whole-tile early exit ---------------
     # Masks are f32 0/1, not bool: Mosaic cannot carry i1 vectors through
@@ -269,53 +348,94 @@ def _trace_kernel(
     )
     t = jnp.where(hit, x, t)
 
-    # --- shade (componentwise mirror of ops/shade.py) ----------------------
-    _, gx, gy, gz, h = field_grad_at(t)
-    ninv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
-    nx_, ny_, nz_ = gx * ninv, gy * ninv, gz * ninv
-
-    lx = prm[0, pk.SUN_DIR + 0]
-    ly = prm[0, pk.SUN_DIR + 1]
-    lz = prm[0, pk.SUN_DIR + 2]
-
-    # Sky (for all rays; also the fog tint component).
-    up_amount = jnp.clip(dy, 0.0, 1.0)
-    cos_sun = jnp.clip(dx * lx + dy * ly + dz * lz, 0.0, 1.0)
-    c2 = cos_sun * cos_sun
-    c4 = c2 * c2
-    c8 = c4 * c4
-    c16 = c8 * c8
-    c64 = c16 * c16 * c16 * c16
-    c512 = c64 * c64 * c64 * c64 * c64 * c64 * c64 * c64
-    sun_term = 0.25 * c64 + 1.5 * c512
-
-    steep = _smoothstep(0.85, 0.55, ny_)
-    snow = _smoothstep(prm[0, pk.SNOW_HEIGHT], prm[0, pk.SNOW_HEIGHT] + 1.0, h) * (
-        1.0 - steep
-    )
-    diffuse = jnp.clip(nx_ * lx + ny_ * ly + nz_ * lz, 0.0, 1.0)
-    sky_fill = 0.5 + 0.5 * ny_
-    fog = 1.0 - jnp.exp(-prm[0, pk.FOG_DENSITY] * t)
-
-    for ch in range(3):
-        sky = (
-            prm[0, pk.SKY_HORIZON + ch]
-            + (prm[0, pk.SKY_ZENITH + ch] - prm[0, pk.SKY_HORIZON + ch]) * up_amount
-            + sun_term * prm[0, pk.SUN_COLOR + ch]
-        )
-        albedo = (
-            prm[0, pk.ALBEDO_LOW + ch]
-            + (prm[0, pk.ALBEDO_HIGH + ch] - prm[0, pk.ALBEDO_LOW + ch]) * steep
-        )
-        albedo = albedo + (prm[0, pk.SNOW_COLOR + ch] - albedo) * snow
-        light = prm[0, pk.SUN_COLOR + ch] * diffuse + prm[0, pk.AMBIENT + ch] * sky_fill
-        surf = albedo * light
-        fog_tint = 0.5 * (prm[0, pk.FOG_COLOR + ch] + sky)
-        surf = surf + (fog_tint - surf) * fog
-        color_ref[ch, :, :] = jnp.where(hit, surf, sky)
+    # --- shade --------------------------------------------------------------
+    c0, c1, c2 = _shade_tile(sc, cfg, t, hit, d, field_grad_at)
+    color_ref[0, :, :] = c0
+    color_ref[1, :, :] = c1
+    color_ref[2, :, :] = c2
 
     t_ref[:, :] = t
     hit_ref[:, :] = hitf
+
+
+def _trace_bwd_kernel(
+    prm_ref,
+    seed_ref,
+    t_ref,
+    hit_ref,
+    g_ref,
+    pbar_ref,
+    *,
+    cfg: RenderConfig,
+    n_params: int,
+    grid_w: int,
+):
+    """Fused backward tile: output cotangent → packed-parameter cotangents.
+
+    Two channels, identical math to the XLA checkpoint backward
+    (ops/render.py:render_from_checkpoint + ops/march.py:_march_bwd_core):
+
+    1. **Shade channel**: jax.vjp of raygen+shade (at the saved t) w.r.t.
+       every packed scalar AND w.r.t. t — each scalar's cotangent is the
+       tile-reduced sum, t̄ a per-pixel tile.
+    2. **March channel (implicit function)**: scale = −t̄ / min(∇f·d,
+       −_BWD_DENOM_MIN) at hits, pulled back through one field evaluation
+       f(o(θ) + t·d(θ), θ) w.r.t. θ — covering noise parameters AND the
+       camera chain (∂t/∂o, ∂t/∂d of ops/march.py in packed coordinates).
+
+    The (1, n_params) SMEM output block is shared by every grid step (its
+    index map is constant): the TPU grid runs sequentially on the core, so
+    the kernel accumulates each tile's partial into it — grid-step 0
+    initializes, the rest add. The host only pulls the finished total back
+    through pack_scene to the scene pytree.
+    """
+    del grid_w
+    seed = seed_ref[0, 0]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = t_ref[:, :]
+    hit = hit_ref[:, :] > 0.5
+    g = (g_ref[0, :, :], g_ref[1, :, :], g_ref[2, :, :])
+    theta = tuple(prm_ref[0, k] for k in range(n_params))
+
+    def color_of(th, t):
+        sc = lambda k: th[k]  # noqa: E731
+        o, d = _raygen(sc, cfg, cfg.tile_h, i, j)
+        field_grad_at, _ = _field_fns(sc, seed, cfg, o, d)
+        return _shade_tile(sc, cfg, t, hit, d, field_grad_at)
+
+    _, pull_shade = jax.vjp(color_of, theta, t)
+    th_bar, t_bar = pull_shade(g)
+
+    # March channel. ∇f·d at the saved hit (no gradient through this —
+    # matches _march_bwd_core, where denom is a forward value).
+    sc0 = lambda k: theta[k]  # noqa: E731
+    o0, d0 = _raygen(sc0, cfg, cfg.tile_h, i, j)
+    field_grad_at0, _ = _field_fns(sc0, seed, cfg, o0, d0)
+    _, gx, gy, gz, _ = field_grad_at0(t)
+    denom = jnp.minimum(gx * d0[0] + gy * d0[1] + gz * d0[2], -_BWD_DENOM_MIN)
+    scale = jnp.where(hit, -t_bar / denom, 0.0)
+
+    def f_of(th):
+        sc = lambda k: th[k]  # noqa: E731
+        o, d = _raygen(sc, cfg, cfg.tile_h, i, j)
+        _, field_at = _field_fns(sc, seed, cfg, o, d)
+        return field_at(t)
+
+    _, pull_march = jax.vjp(f_of, theta)
+    (th_bar2,) = pull_march(scale)
+
+    is_first = (i == 0) & (j == 0)
+
+    @pl.when(is_first)
+    def _init():
+        for k in range(n_params):
+            pbar_ref[0, k] = th_bar[k] + th_bar2[k]
+
+    @pl.when(jnp.logical_not(is_first))
+    def _accum():
+        for k in range(n_params):
+            pbar_ref[0, k] = pbar_ref[0, k] + th_bar[k] + th_bar2[k]
 
 
 def _render_pallas_raw(
@@ -324,7 +444,7 @@ def _render_pallas_raw(
     row0=0.0,
     local_height: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Launch the fused kernel over the tile grid. Returns (color, t, hit).
+    """Launch the fused kernel over the tile grid. Returns (color, t, hit_f).
 
     ``row0``/``local_height`` select a row band of the full cfg.height image
     (the shard_map tile-sharding unit); defaults render the whole frame.
@@ -365,13 +485,68 @@ def _render_pallas_raw(
     return jnp.moveaxis(color, 0, -1), t, hit_f > 0.5
 
 
+def _backward_pallas(
+    scene: Scene,
+    cfg: RenderConfig,
+    t: jax.Array,
+    hit: jax.Array,
+    g: jax.Array,
+    row0,
+    local_height: int | None,
+):
+    """Fused Pallas backward: (saved t/hit, cotangent image) → scene pytree
+    cotangents, via per-tile packed-parameter partials summed on host."""
+    hit_f = hit.astype(jnp.float32)
+    h = cfg.height if local_height is None else local_height
+    w = cfg.width
+    th = cfg.tile_h
+    packed, seed = pk.pack_scene(scene, cfg.height, w, row0)
+    n_params = packed.shape[1]
+    grid = (pl.cdiv(h, th), pl.cdiv(w, TILE_W))
+    gp = jnp.moveaxis(g, -1, 0)  # (3, h, w) cotangent planes
+
+    kernel = functools.partial(
+        _trace_bwd_kernel, cfg=cfg, n_params=n_params, grid_w=grid[1]
+    )
+    pbar = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_params), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, TILE_W), lambda i, j: (i, j)),
+            pl.BlockSpec((th, TILE_W), lambda i, j: (i, j)),
+            pl.BlockSpec((3, th, TILE_W), lambda i, j: (0, i, j)),
+        ],
+        # One SMEM accumulator block shared by all grid steps (constant index
+        # map): the sequential TPU grid accumulates into it in-kernel.
+        out_specs=pl.BlockSpec(
+            (1, n_params), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, n_params), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=h * w * (cfg.num_octaves * 400 + 1200),
+            bytes_accessed=h * w * 6 * 4,
+            transcendentals=h * w,
+        ),
+        interpret=cfg.interpret,
+    )(packed, seed, t, hit_f, gp)
+
+    _, pull = jax.vjp(
+        lambda s: pk.pack_scene(s, cfg.height, w, row0)[0], scene
+    )
+    (scene_bar,) = pull(pbar)
+    return scene_bar
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def render_pallas_cfg(
     cfg: RenderConfig, local_height: int | None, scene: Scene, row0
 ) -> jax.Array:
-    """Differentiable fused render: forward on the Pallas kernel, backward
-    through the checkpointed pure-JAX path (identical gradients to
-    ``render_jax`` — asserted in tests/test_grad.py)."""
+    """Differentiable fused render: forward on the Pallas trace kernel,
+    backward on the fused Pallas backward kernel (cfg.pallas_bwd, default) or
+    the checkpointed pure-JAX path — identical gradients either way,
+    asserted in tests/test_grad.py and tests/test_pallas.py."""
     color, _, _ = _render_pallas_raw(scene, cfg, row0, local_height)
     return color
 
@@ -383,12 +558,16 @@ def _rp_fwd(cfg, local_height, scene, row0):
 
 def _rp_bwd(cfg, local_height, res, g):
     scene, row0, t, hit = res
+    row0_bar = jnp.zeros_like(jnp.asarray(row0, jnp.float32))
+    if cfg.pallas_bwd:
+        scene_bar = _backward_pallas(scene, cfg, t, hit, g, row0, local_height)
+        return scene_bar, row0_bar
     _, pullback = jax.vjp(
         lambda s: render_from_checkpoint(s, cfg, t, hit, row0, local_height),
         scene,
     )
     (scene_bar,) = pullback(g)
-    return scene_bar, jnp.zeros_like(jnp.asarray(row0, jnp.float32))
+    return scene_bar, row0_bar
 
 
 render_pallas_cfg.defvjp(_rp_fwd, _rp_bwd)

@@ -103,6 +103,7 @@ class RenderConfig:
     step_relax: float = 0.7  # conservative step factor (heightfield != SDF)
     num_octaves: int = 6
     use_pallas: bool = True  # fused Pallas kernel vs pure-XLA path
+    pallas_bwd: bool = True  # fused Pallas backward kernel vs XLA re-shade
     interpret: bool = False  # Pallas interpreter mode (CPU debugging)
     march_mode: str = "chunked"  # "chunked": whole-tile early exit between
     # CHUNK-step blocks; "fixed": plain max_steps fori_loop (no exit checks)

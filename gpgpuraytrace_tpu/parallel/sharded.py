@@ -35,12 +35,16 @@ def _local_rows(cfg: RenderConfig, n_shards: int) -> int:
     return cfg.height // n_shards
 
 
-def sharded_render(scene: Scene, cfg: RenderConfig, mesh: Mesh) -> jax.Array:
-    """Full frame rendered with rows sharded over the mesh: (H, W, 3), output
-    sharded ``P('tiles', None, None)``. Params replicated; no collectives at
-    all in the forward path (rays are embarrassingly parallel)."""
-    n = mesh.shape[TILE_AXIS]
-    local_h = _local_rows(cfg, n)
+@functools.lru_cache(maxsize=64)
+def _sharded_render_fn(cfg: RenderConfig, mesh: Mesh):
+    """jit-compiled sharded render, cached per (cfg, mesh).
+
+    The jit wrapper is load-bearing, not a convenience: an eager shard_map
+    call dispatches the traced body op-by-op through the SPMD machinery
+    (~200 s for even a tiny frame on the CPU test backend); under jit the
+    same program compiles once in seconds and replays from cache.
+    """
+    local_h = _local_rows(cfg, mesh.shape[TILE_AXIS])
 
     @functools.partial(
         shard_map,
@@ -53,22 +57,23 @@ def sharded_render(scene: Scene, cfg: RenderConfig, mesh: Mesh) -> jax.Array:
         row0 = jax.lax.axis_index(TILE_AXIS).astype(jnp.float32) * local_h
         return render(scene, cfg, row0=row0, local_height=local_h)
 
-    return body(scene)
+    return jax.jit(body)
 
 
-def sharded_loss_and_grad(
-    train_leaves, merge, cfg: RenderConfig, target: jax.Array, mesh: Mesh
-):
-    """Global-mean pixel loss + trainable-param grads, computed shard-wise.
+def sharded_render(scene: Scene, cfg: RenderConfig, mesh: Mesh) -> jax.Array:
+    """Full frame rendered with rows sharded over the mesh: (H, W, 3), output
+    sharded ``P('tiles', None, None)``. Params replicated; no collectives at
+    all in the forward path (rays are embarrassingly parallel)."""
+    return _sharded_render_fn(cfg, mesh)(scene)
 
-    ``train_leaves``/``merge`` come from ``ops.fit.partition_scene`` (the
-    trainable float leaves and the scene re-assembler). Each device runs
-    forward + checkpointed backward over its row band, then ``psum``s the
-    (small) parameter cotangents per leaf across the mesh — the grad
-    all-reduce the driver contract calls out, riding ICI/DCN.
+
+@functools.lru_cache(maxsize=64)
+def _sharded_loss_and_grad_fn(merge, cfg: RenderConfig, mesh: Mesh):
+    """jit-compiled sharded value_and_grad, cached per (merge, cfg, mesh).
+    (Same eager-shard_map trap as ``_sharded_render_fn``; ``merge`` is cached
+    by identity, so call sites should reuse one ``partition_scene`` result.)
     """
-    n = mesh.shape[TILE_AXIS]
-    local_h = _local_rows(cfg, n)
+    local_h = _local_rows(cfg, mesh.shape[TILE_AXIS])
     inv_npix = 1.0 / (cfg.height * cfg.width * 3)
 
     @functools.partial(
@@ -94,7 +99,21 @@ def sharded_loss_and_grad(
         )
         return jax.lax.psum(loss, TILE_AXIS), grads
 
-    return body(train_leaves, target)
+    return jax.jit(body)
+
+
+def sharded_loss_and_grad(
+    train_leaves, merge, cfg: RenderConfig, target: jax.Array, mesh: Mesh
+):
+    """Global-mean pixel loss + trainable-param grads, computed shard-wise.
+
+    ``train_leaves``/``merge`` come from ``ops.fit.partition_scene`` (the
+    trainable float leaves and the scene re-assembler). Each device runs
+    forward + checkpointed backward over its row band, then ``psum``s the
+    (small) parameter cotangents per leaf across the mesh — the grad
+    all-reduce the driver contract calls out, riding ICI/DCN.
+    """
+    return _sharded_loss_and_grad_fn(merge, cfg, mesh)(train_leaves, target)
 
 
 def make_sharded_fit_step(
