@@ -104,9 +104,29 @@ def cmd_fly(args):
     from gpgpuraytrace_tpu.models.scene import default_scene
     from gpgpuraytrace_tpu.ops.flythrough import fly_frames
     from gpgpuraytrace_tpu.utils.image import to_uint8, write_png
+    from gpgpuraytrace_tpu.utils.tweak import TweakWatcher, apply_tweaks
 
     cfg = _cfg_from_args(args)
     scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
+    # Live tweak variables (the reference's WPF tweak-UI role): edit the
+    # watched JSON while the loop runs; params are traced args, so updates
+    # apply on the next frame batch with zero recompilation.
+    watcher = TweakWatcher(args.tweak) if args.tweak else None
+
+    def on_batch(s):
+        if watcher is None:
+            return s
+        tweaks = watcher.poll()
+        if tweaks is None:
+            return s
+        s, rejected = apply_tweaks(s, tweaks)
+        applied = [k for k in tweaks if k not in rejected]
+        if applied:
+            print(f"tweaks applied: {', '.join(applied)}")
+        for name in rejected:
+            print(f"tweak rejected (unknown name or bad shape): {name}")
+        return s
+
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
     n = 0
@@ -120,7 +140,9 @@ def cmd_fly(args):
     except Exception:
         pass
     try:
-        for idx, frame in fly_frames(scene, cfg, args.frames, batch=args.batch):
+        for idx, frame in fly_frames(
+            scene, cfg, args.frames, batch=args.batch, on_batch=on_batch
+        ):
             path = os.path.join(args.out, f"frame_{idx:04d}.png")
             if writer is not None:
                 writer.push(path, to_uint8(frame))
@@ -135,6 +157,16 @@ def cmd_fly(args):
         f"flythrough: {n} frames {cfg.width}x{cfg.height} in {dt:.1f}s "
         f"({n / dt:.2f} fps incl. IO, native={writer is not None})"
     )
+
+
+def cmd_tweaks(args):
+    from gpgpuraytrace_tpu.models.scene import default_scene
+    from gpgpuraytrace_tpu.utils.tweak import write_template
+
+    cfg = _cfg_from_args(args)
+    scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
+    write_template(args.out, scene)
+    print(f"wrote tweak template -> {args.out} (edit while `fly --tweak {args.out}` runs)")
 
 
 def cmd_bench(args):
@@ -189,8 +221,21 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--frames", type=int, default=60)
     sp.add_argument("--batch", type=int, default=4, help="temporal ray batch")
+    sp.add_argument(
+        "--tweak",
+        default="",
+        help="watched JSON file of live scene overrides "
+        '(e.g. {"noise.height_scale": 8.0}); re-read whenever it changes',
+    )
     sp.add_argument("-o", "--out", default="frames")
     sp.set_defaults(fn=cmd_fly)
+
+    sp = sub.add_parser(
+        "tweaks", help="write an editable tweak-file template of the scene"
+    )
+    common(sp)
+    sp.add_argument("-o", "--out", default="tweaks.json")
+    sp.set_defaults(fn=cmd_tweaks)
 
     sp = sub.add_parser("bench", help="benchmark fwd+bwd rays/s")
     common(sp)

@@ -53,15 +53,20 @@ def fly_frames(
     num_frames: int,
     batch: int = 4,
     fps: float = 30.0,
+    on_batch=None,
 ) -> Iterator[tuple[int, np.ndarray]]:
     """Yield (frame_index, tonemapped uint8-ready (H,W,3) float array).
 
     Frames are produced in batches of ``batch`` (temporal ray batching); the
     same compiled executable serves every batch — camera params are traced
-    arguments, so per-frame updates never recompile.
+    arguments, so per-frame updates never recompile. ``on_batch(scene) ->
+    scene`` runs before each batch (the live-tweak hook: scene edits are
+    traced args, so they also never recompile).
     """
     fn = _make_batch_render(cfg)
     for start in range(0, num_frames, batch):
+        if on_batch is not None:
+            scene = on_batch(scene)
         n = min(batch, num_frames - start)
         times = (jnp.arange(start, start + batch, dtype=jnp.float32)) / fps
         frames = jax.block_until_ready(fn(scene, times))
