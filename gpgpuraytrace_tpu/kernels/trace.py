@@ -57,6 +57,7 @@ CHUNK = 8
 _NEWTON_ITERS = 4
 _DENOM_EPS = 1e-4
 _BWD_DENOM_MIN = 1e-2  # keep in sync with ops/march.py
+_RESIDUAL_SLACK = 2.0  # keep in sync with ops/march.py
 
 
 def _smoothstep(lo, hi, x):
@@ -194,11 +195,66 @@ def _field_fns(sc, seed, cfg: RenderConfig, o, d):
     return field_grad_at, field_at
 
 
+def _coarse_field_fn(sc, seed, cfg: RenderConfig, o, d):
+    """Certified lower-bound coarse field for the LOD march (phase 1).
+
+    Keeps the first ``ceil(num_octaves/2)`` fBm octaves (and drops the last
+    warp octave in volumetric mode); ``margin`` bounds ``|f_full − f_coarse|``
+    by the triangle inequality over the skipped octaves' amplitudes (noise
+    values lie in [−1, 1]), so ``f_coarse − margin ≤ f_full`` everywhere and
+    phase-1 steps of ``relax·(f_coarse − margin)`` can never overstep a
+    surface the full field would hit. Roughly halves the per-step noise cost
+    for the far-field majority of march steps.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    hs = sc(pk.HORIZONTAL_SCALE)
+    lac = sc(pk.LACUNARITY)
+    h_off = sc(pk.HEIGHT_OFFSET)
+    h_scale = sc(pk.HEIGHT_SCALE)
+    k = max(1, (cfg.num_octaves + 1) // 2)
+    amps = tuple(sc(pk.AMPS + i) for i in range(k))
+    skipped = jnp.float32(0.0)
+    for i in range(k, cfg.num_octaves):
+        skipped = skipped + jnp.abs(sc(pk.AMPS + i))
+    margin = jnp.abs(h_scale) * skipped
+    if cfg.volumetric:
+        w_amp = sc(pk.WARP_AMP)
+        w_freq = sc(pk.WARP_FREQ)
+        wo = max(1, cfg.warp_octaves - 1)
+        tail = float(sum(WARP_GAIN**i for i in range(wo, cfg.warp_octaves)))
+        margin = margin + jnp.abs(w_amp) * tail
+
+    def field_coarse_at(t):
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        n = _fbm_scalar_amps_value(px * hs, pz * hs, amps, lac, seed)
+        f = py - (h_off + h_scale * n)
+        if cfg.volumetric:
+            f = f - w_amp * fbm3_value(
+                px * w_freq, py * w_freq, pz * w_freq,
+                wo, WARP_LACUNARITY, WARP_GAIN, seed,
+            )
+        return f
+
+    return field_coarse_at, margin
+
+
 def _shade_tile(sc, cfg: RenderConfig, t, hit, d, field_grad_at):
     """Shading tail (componentwise mirror of ops/shade.py): returns the
     (c0, c1, c2) color-plane tiles. ``hit`` is a constant bool tile."""
-    dx, dy, dz = d
     _, gx, gy, gz, h = field_grad_at(t)
+    return _shade_from_grads(sc, cfg, t, hit, d, (gx, gy, gz, h))
+
+
+def _shade_from_grads(sc, cfg: RenderConfig, t, hit, d, grads):
+    """Shade from a precomputed field evaluation at t (the forward kernel
+    reuses its residual-check evaluation here; the backward kernel's
+    ``jax.vjp`` goes through ``_shade_tile`` so the eval stays inside the
+    pullback)."""
+    dx, dy, dz = d
+    gx, gy, gz, h = grads
     ninv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
     nx_, ny_, nz_ = gx * ninv, gy * ninv, gz * ninv
 
@@ -277,19 +333,61 @@ def _trace_kernel(
     active0 = jnp.ones((TILE_H, TILE_W), jnp.float32)
     num_chunks = pl.cdiv(cfg.max_steps, CHUNK)
 
+    eps_m = cfg.hit_eps * cfg.march_eps_scale
+
     def march_step(s):
         t, prev_t, hit, active = s
         f = field_at(t)
-        is_hit = jnp.where(f < cfg.hit_eps * t, active, 0.0)
+        is_hit = jnp.where(f < eps_m * t, active, 0.0)
         advance = active - is_hit  # is_hit ⊆ active
         step = jnp.maximum(cfg.step_relax * f, cfg.hit_eps)
+        if cfg.step_floor_t > 0.0:
+            # Screen-space step floor: never crawl slower than ~a fraction
+            # of the pixel footprint; oversteps land at f<0 and the
+            # bracketed Newton polish pulls them back to the exact root.
+            step = jnp.maximum(step, cfg.step_floor_t * t)
         t_new = jnp.minimum(t + step * advance, cfg.t_max)
         prev_new = jnp.where(advance > 0.0, t, prev_t)
         hit_new = jnp.maximum(hit, is_hit)
         active_new = jnp.where(t_new < cfg.t_max, advance, 0.0)
         return t_new, prev_new, hit_new, active_new
 
-    if cfg.march_mode == "chunked":
+
+    if cfg.march_mode == "lod":
+        # Phase 1: march the certified lower bound (half the octaves) until
+        # it can no longer prove progress (within ~margin of a possible
+        # surface) or the ray leaves the volume. No hits can occur here:
+        # f_lower > park_eps > 0 implies f_full > 0.
+        field_coarse_at, margin = _coarse_field_fn(sc, seed, cfg, o, d)
+        park_eps = 0.5 * margin
+
+        def lod_step(s):
+            t, active = s
+            fl = field_coarse_at(t) - margin
+            go = jnp.where(fl > jnp.maximum(park_eps, cfg.hit_eps * t), active, 0.0)
+            t_new = jnp.minimum(t + cfg.step_relax * fl * go, cfg.t_max)
+            active_new = jnp.where(t_new < cfg.t_max, go, 0.0)
+            return t_new, active_new
+
+        def lod_chunk(carry):
+            c, t, active = carry
+            t, active = jax.lax.fori_loop(
+                0, CHUNK, lambda _, s: lod_step(s), (t, active)
+            )
+            return c + 1, t, active
+
+        def lod_cond(carry):
+            c, _, active = carry
+            return (c < num_chunks) & (jnp.max(active) > 0.0)
+
+        _, t0, _ = jax.lax.while_loop(
+            lod_cond, lod_chunk, (jnp.int32(0), t0, active0)
+        )
+        # Phase 2 (the standard chunked march below) resumes from the parked
+        # distances with the full field; rays already at t_max stay misses.
+        active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
+
+    if cfg.march_mode in ("chunked", "lod"):
         def chunk_body(carry):
             c, t, prev_t, hit, active = carry
             t, prev_t, hit, active = jax.lax.fori_loop(
@@ -348,8 +446,20 @@ def _trace_kernel(
     )
     t = jnp.where(hit, x, t)
 
-    # --- shade --------------------------------------------------------------
-    c0, c1, c2 = _shade_tile(sc, cfg, t, hit, d, field_grad_at)
+    # --- final field eval: shading normals + residual hit verdict ----------
+    f_fin, gx, gy, gz, h = field_grad_at(t)
+    if cfg.march_eps_scale != 1.0:
+        # The march stopped at the loosened eps_m; the Newton polish brings
+        # true hits (well) under the strict epsilon. Rays whose polished
+        # residual is still large are near-misses the loose march flagged
+        # prematurely — reject them so silhouettes don't dilate.
+        # _RESIDUAL_SLACK tolerates Newton non-convergence on extreme
+        # grazing hits (false sky holes are worse than a sub-pixel dilate).
+        hitf = hitf * jnp.where(f_fin < _RESIDUAL_SLACK * cfg.hit_eps * t, 1.0, 0.0)
+        hit = hitf > 0.5
+
+    # --- shade (reusing the final field eval) -------------------------------
+    c0, c1, c2 = _shade_from_grads(sc, cfg, t, hit, d, (gx, gy, gz, h))
     color_ref[0, :, :] = c0
     color_ref[1, :, :] = c1
     color_ref[2, :, :] = c2

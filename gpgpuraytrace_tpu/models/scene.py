@@ -106,10 +106,29 @@ class RenderConfig:
     pallas_bwd: bool = True  # fused Pallas backward kernel vs XLA re-shade
     interpret: bool = False  # Pallas interpreter mode (CPU debugging)
     march_mode: str = "chunked"  # "chunked": whole-tile early exit between
-    # CHUNK-step blocks; "fixed": plain max_steps fori_loop (no exit checks)
+    # CHUNK-step blocks; "fixed": plain max_steps fori_loop (no exit checks);
+    # "lod": coarse-to-fine — phase 1 marches a certified lower-bound field
+    # built from the first half of the octaves (margin = skipped amplitude
+    # sum), phase 2 finishes with the full field (Pallas kernel only; the
+    # pure-XLA path treats it as "chunked")
     volumetric: bool = False  # 3D-warped terrain volume (overhangs)
     warp_octaves: int = 2  # fBm octaves of the volumetric warp
     tile_h: int = 8  # Pallas tile height ((tile_h, 128) f32 pixel tiles)
+    march_eps_scale: float = 1.0  # >1 loosens the march's stop threshold to
+    # march_eps_scale × hit_eps × t, with a post-polish residual check
+    # re-imposing the strict verdict. Measured +35% forward rays/s at 4.0 but
+    # tangent-incidence pixels cannot be Newton-polished and get rejected
+    # (~0.5% sky holes vs ground truth) — a preview-quality speed knob, NOT
+    # the default. For the accuracy-preserving acceleration see step_floor_t.
+    step_floor_t: float = 4e-3  # t-proportional march step floor:
+    # step = max(relax·f, hit_eps, step_floor_t·t). Bounds the grazing-ray
+    # crawl (steps can't shrink below ~a quarter pixel footprint of forward
+    # progress at 512px) with *screen-space-bounded* error: an overstep
+    # lands inside the surface (f<0), which the bracketed Newton polish
+    # resolves to the exact root; only ~2-pixel-scale silhouette slivers can
+    # be skipped. Measured (512², 6 octaves, v5e): 4e-3 → +23% forward
+    # rays/s with 0 false hits / 5 hole px per 8K px vs a 1024-step dense
+    # ground truth. 0 disables (the classic crawl; frozen goldens use this).
     supersample: int = 1  # SSAA factor: render at k× and box-downsample
 
 

@@ -45,6 +45,13 @@ _DENOM_EPS = 1e-4
 # -_BWD_DENOM_MIN bounds the bias instead of admitting unbounded variance —
 # the standard conditioning trick in differentiable sphere tracing.
 _BWD_DENOM_MIN = 1e-2
+# Residual hit verdict (march_eps_scale > 1): after the Newton polish, a hit
+# must satisfy f < _RESIDUAL_SLACK·hit_eps·t — true hits converge orders of
+# magnitude below this; near-misses the loosened march flagged prematurely
+# stay well above it and are rejected. The slack tolerates 4-iteration Newton
+# non-convergence on extreme grazing hits (a false sky hole is worse than a
+# sub-pixel silhouette dilate). Keep in sync with kernels/trace.py.
+_RESIDUAL_SLACK = 2.0
 
 
 def _march_loop(
@@ -57,13 +64,20 @@ def _march_loop(
     active0 = jnp.ones(shape, bool)
     steps0 = jnp.zeros(shape, jnp.int32)
 
+    eps_m = cfg.hit_eps * cfg.march_eps_scale
+
     def body(_, carry):
         t, prev_t, hit, active, steps = carry
         p = ray_o + t[..., None] * ray_d
         f = field(p, noise, cfg.volumetric, cfg.warp_octaves)
-        is_hit = active & (f < cfg.hit_eps * t)
+        is_hit = active & (f < eps_m * t)
         advance = active & ~is_hit
         step = jnp.maximum(cfg.step_relax * f, cfg.hit_eps)
+        if cfg.step_floor_t > 0.0:
+            # Screen-space step floor (mirrors kernels/trace.py): bounds the
+            # grazing-ray crawl; oversteps land inside (f<0) and the
+            # bracketed Newton polish resolves the exact root.
+            step = jnp.maximum(step, cfg.step_floor_t * t)
         t_new = jnp.where(advance, t + step, t)
         return (
             jnp.minimum(t_new, cfg.t_max),
@@ -103,6 +117,12 @@ def _march_loop(
         x_new = jnp.clip(newton, lo, jnp.minimum(hi, cfg.t_max))
         x = jnp.where(hit & safe, jnp.maximum(x_new, cfg.t_min), x)
     t = jnp.where(hit, x, t)
+    if cfg.march_eps_scale != 1.0:
+        # Residual hit verdict: re-impose the strict epsilon after the polish
+        # (see _RESIDUAL_SLACK above; mirrors kernels/trace.py).
+        p = ray_o + t[..., None] * ray_d
+        f_fin = field(p, noise, cfg.volumetric, cfg.warp_octaves)
+        hit = hit & (f_fin < _RESIDUAL_SLACK * cfg.hit_eps * t)
     return t, hit, steps
 
 

@@ -24,7 +24,12 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
 def main():
     os.makedirs(OUT, exist_ok=True)
-    cfg = RenderConfig(height=128, width=128, max_steps=96, num_octaves=1, use_pallas=False)
+    # Pins step_floor_t=0 (classic strict march) — keep in sync with
+    # tests/test_render.py CFG1 so the frozen golden is march-tuning-stable.
+    cfg = RenderConfig(
+        height=128, width=128, max_steps=96, num_octaves=1, use_pallas=False,
+        step_floor_t=0.0,
+    )
     img = np.asarray(render_jax(default_scene(num_octaves=1), cfg))
     np.save(os.path.join(OUT, "config1_128.npy"), img)
     print("wrote config1_128.npy", img.shape, img.dtype, "mean", img.mean())

@@ -1,0 +1,115 @@
+"""Forward-kernel perf sweep on the real chip: tile_h / march_mode / octave
+LOD variants. Scan-length differencing (same methodology as bench.py) so the
+TPU-tunnel dispatch cost cancels out.
+
+Usage: python scripts/perf_sweep.py [--size 512] [--variants v1,v2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from gpgpuraytrace_tpu.models.scene import RenderConfig, default_scene
+from gpgpuraytrace_tpu.ops.render import render
+
+
+def time_cfg(cfg: RenderConfig, K: int = 12) -> dict:
+    scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
+
+    def make_run(k):
+        @jax.jit
+        def run(salts):
+            def body(acc, salt):
+                s = scene.replace(
+                    noise=scene.noise.replace(
+                        height_offset=scene.noise.height_offset + salt
+                    )
+                )
+                img = render(s, cfg)
+                return acc + jnp.sum(img), ()
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), salts)
+            return acc
+
+        return run
+
+    def salts(k, base):
+        return jnp.arange(k, dtype=jnp.float32) * 1e-6 + base * 1e-7
+
+    run_k, run_1 = make_run(K), make_run(1)
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_1(salts(1, 1)))
+    compile_s = time.perf_counter() - t0
+    jax.block_until_ready(run_k(salts(K, 2)))
+
+    def timed(fn, k, base):
+        s = salts(k, base)
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(s))
+        return time.perf_counter() - t0
+
+    t_k = min(timed(run_k, K, 3 + r) for r in range(3))
+    t_1 = min(timed(run_1, 1, 30 + r) for r in range(3))
+    sec = max(t_k - t_1, 1e-9) / (K - 1)
+    return {
+        "ms_per_frame": round(sec * 1e3, 3),
+        "mrays_per_sec": round(cfg.height * cfg.width / sec / 1e6, 1),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--variants", type=str, default="")
+    args = ap.parse_args()
+    n = args.size
+
+    base = dict(height=n, width=n, max_steps=128, num_octaves=6, use_pallas=True)
+    all_variants = {
+        "tile8_chunked": RenderConfig(**base, tile_h=8),
+        "tile16_chunked": RenderConfig(**base, tile_h=16),
+        "tile32_chunked": RenderConfig(**base, tile_h=32),
+        "tile8_fixed": RenderConfig(**base, tile_h=8, march_mode="fixed"),
+        "tile8_lod": RenderConfig(**base, tile_h=8, march_mode="lod"),
+        "tile16_lod": RenderConfig(**base, tile_h=16, march_mode="lod"),
+        "tile8_vol": RenderConfig(**{**base, "volumetric": True}, tile_h=8),
+        "tile8_vol_lod": RenderConfig(
+            **{**base, "volumetric": True}, tile_h=8, march_mode="lod"
+        ),
+        "tile8_eps1": RenderConfig(**base, tile_h=8, march_eps_scale=1.0),
+        "tile8_eps4": RenderConfig(**base, tile_h=8, march_eps_scale=4.0),
+        "tile8_floor0": RenderConfig(**base, tile_h=8, step_floor_t=0.0),
+        "tile8_floor1e3": RenderConfig(**base, tile_h=8, step_floor_t=1e-3),
+        "tile8_floor2e3": RenderConfig(**base, tile_h=8, step_floor_t=2e-3),
+        "tile8_floor4e3": RenderConfig(**base, tile_h=8, step_floor_t=4e-3),
+        "tile8_vol_floor2e3": RenderConfig(
+            **{**base, "volumetric": True}, tile_h=8, step_floor_t=2e-3
+        ),
+    }
+    names = (
+        [v for v in args.variants.split(",") if v]
+        if args.variants
+        else list(all_variants)
+    )
+    for name in names:
+        cfg = all_variants[name]
+        try:
+            res = time_cfg(cfg)
+        except Exception as e:  # noqa: BLE001 — sweep must survive bad variants
+            res = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
+        print(json.dumps({"variant": name, **res}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

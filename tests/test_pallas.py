@@ -132,6 +132,30 @@ def test_pallas_bwd_kernel_full_scene_grads(scene):
     g_kernel = jax.grad(make_loss(CFG))(leaves)
     g_xla = jax.grad(make_loss(dataclasses.replace(CFG, pallas_bwd=False)))(leaves)
     for gk, gx in zip(g_kernel, g_xla):
+        # atol covers f32 op-order roundoff between the two implementations
+        # on ill-conditioned (grazing, denominator-clamped) pixels.
         np.testing.assert_allclose(
-            np.asarray(gk), np.asarray(gx), rtol=2e-4, atol=1e-7
+            np.asarray(gk), np.asarray(gx), rtol=2e-4, atol=1e-6
         )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"march_mode": "lod"},
+        {"march_eps_scale": 4.0},
+        {"step_floor_t": 0.0},
+    ],
+    ids=["lod", "loose_eps", "classic_no_floor"],
+)
+def test_march_variants_match_baseline(scene, pallas_out, kw):
+    """March variants (coarse-to-fine LOD; the classic strict-epsilon march)
+    must agree with the default (loosened eps + Newton polish + residual
+    verdict) except on a small silhouette-adjacent pixel fraction — different
+    sample trajectories legitimately bracket grazing hits differently (see
+    assert_mostly_close)."""
+    base, _, _ = pallas_out
+    var = _render_pallas_raw(scene, dataclasses.replace(CFG, **kw))[0]
+    assert_mostly_close(base, var, atol=5e-2, frac=0.97, msg=f"variant {kw}")
+    # Bulk of the image identical to strict tolerance.
+    assert_mostly_close(base, var, atol=1e-3, frac=0.95, msg=f"variant-bulk {kw}")
