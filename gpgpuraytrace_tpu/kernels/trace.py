@@ -479,6 +479,7 @@ def _trace_bwd_kernel(
     cfg: RenderConfig,
     n_params: int,
     grid_w: int,
+    local_h: int,
 ):
     """Fused backward tile: output cotangent → packed-parameter cotangents.
 
@@ -506,6 +507,27 @@ def _trace_bwd_kernel(
     t = t_ref[:, :]
     hit = hit_ref[:, :] > 0.5
     g = (g_ref[0, :, :], g_ref[1, :, :], g_ref[2, :, :])
+
+    # Edge-tile padding mask. When the frame is not a multiple of the block
+    # shape, Pallas pads the partial edge blocks and reads of the padded
+    # lanes are UNDEFINED (often NaN/garbage). The forward kernel is immune
+    # (padded writes are dropped), but this kernel REDUCES over the tile —
+    # one poisoned lane would contaminate every parameter cotangent through
+    # the shared SMEM accumulator. Select (never multiply: NaN·0 = NaN) a
+    # benign t / zero cotangent / miss verdict on out-of-bounds lanes.
+    if local_h % cfg.tile_h != 0 or cfg.width % TILE_W != 0:
+        rows_l = (
+            jax.lax.broadcasted_iota(jnp.int32, (cfg.tile_h, TILE_W), 0)
+            + i * cfg.tile_h
+        )
+        cols = (
+            jax.lax.broadcasted_iota(jnp.int32, (cfg.tile_h, TILE_W), 1)
+            + j * TILE_W
+        )
+        valid = (rows_l < local_h) & (cols < cfg.width)
+        t = jnp.where(valid, t, 1.0)
+        hit = jnp.where(valid, hit, False)
+        g = tuple(jnp.where(valid, gk, 0.0) for gk in g)
     theta = tuple(prm_ref[0, k] for k in range(n_params))
 
     def color_of(th, t):
@@ -616,7 +638,8 @@ def _backward_pallas(
     gp = jnp.moveaxis(g, -1, 0)  # (3, h, w) cotangent planes
 
     kernel = functools.partial(
-        _trace_bwd_kernel, cfg=cfg, n_params=n_params, grid_w=grid[1]
+        _trace_bwd_kernel, cfg=cfg, n_params=n_params, grid_w=grid[1],
+        local_h=h,
     )
     pbar = pl.pallas_call(
         kernel,

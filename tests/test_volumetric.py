@@ -146,3 +146,35 @@ def test_volumetric_pallas_matches_pure_jax():
     color, _, _ = _render_pallas_raw(scene, cfg)
     ref = render_jax(scene, dataclasses.replace(cfg, use_pallas=False))
     assert_mostly_close(color, ref, atol=2e-3, frac=0.995, msg="volumetric image")
+
+
+def test_volumetric_pallas_bwd_kernel_full_scene_grads():
+    """Volumetric mode: the fused Pallas BACKWARD kernel must reproduce the
+    XLA checkpoint backward on every differentiable leaf — in particular the
+    WARP_AMP / WARP_FREQ packed channel (kernels/trace.py warp terms), which
+    only exists under cfg.volumetric and is untested by the heightfield
+    parity test in tests/test_pallas.py."""
+    from gpgpuraytrace_tpu.kernels.trace import render_pallas
+    from gpgpuraytrace_tpu.ops.fit import partition_scene
+
+    cfg = dataclasses.replace(CFG, use_pallas=True, interpret=True)
+    scene = default_scene(2, volumetric=True)
+    leaves, merge = partition_scene(scene, trainable=lambda name: True)
+    names = [
+        p for p, _ in jax.tree_util.tree_flatten_with_path(scene)[0]
+    ]  # sanity: warp leaves are in the trainable set
+    assert any("warp_amplitude" in str(n) for n in names)
+
+    def make_loss(c):
+        def loss(leaves):
+            img = render_pallas(merge(leaves), c)
+            return jnp.mean(img * jnp.cos(img))
+
+        return loss
+
+    g_kernel = jax.grad(make_loss(cfg))(leaves)
+    g_xla = jax.grad(make_loss(dataclasses.replace(cfg, pallas_bwd=False)))(leaves)
+    for gk, gx in zip(g_kernel, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gx), rtol=2e-4, atol=1e-6
+        )
