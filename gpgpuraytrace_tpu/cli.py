@@ -84,7 +84,10 @@ def cmd_fit(args):
     target_scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
     target = jax.block_until_ready(render_jit(target_scene, cfg))
     scene0 = perturb_scene(target_scene, jax.random.PRNGKey(args.seed), rel=0.15)
-    scene, losses = fit(scene0, cfg, target, steps=args.steps, learning_rate=args.lr)
+    scene, losses = fit(
+        scene0, cfg, target, steps=args.steps, learning_rate=args.lr,
+        save_path=args.save, save_every=args.save_every, resume=args.resume,
+    )
     print(
         f"fit: loss {losses[0]:.4e} -> {losses[-1]:.4e} over {len(losses)} steps"
     )
@@ -214,6 +217,18 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=300)
     sp.add_argument("--lr", type=float, default=5e-3)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument(
+        "--save", default="", metavar="PATH",
+        help="checkpoint trainable params + optimizer state to PATH (.npz)",
+    )
+    sp.add_argument(
+        "--save-every", type=int, default=25,
+        help="checkpoint interval in steps (with --save)",
+    )
+    sp.add_argument(
+        "--resume", action="store_true",
+        help="resume from --save PATH if it exists (exact continuation)",
+    )
     sp.add_argument("-o", "--out", default="")
     sp.set_defaults(fn=cmd_fit)
 

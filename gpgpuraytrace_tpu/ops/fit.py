@@ -14,6 +14,7 @@ list, and the full scene is re-assembled each step.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable
 
 import jax
@@ -89,23 +90,44 @@ def fit(
     trainable: Callable[[str], bool] | None = None,
     log_every: int = 20,
     log_fn=print,
+    save_path: str = "",
+    save_every: int = 25,
+    resume: bool = False,
 ) -> tuple[Scene, list[float]]:
     """Gradient-descend scene params toward a target image.
 
     ``trainable`` filters dotted leaf names (default: fBm amplitudes and the
     camera pose — the BASELINE.json:9 recovery set).
+
+    Checkpoint/resume (SURVEY.md §6): with ``save_path``, the trainable
+    leaves + optimizer state + step counter are checkpointed every
+    ``save_every`` steps (and at the end); ``resume=True`` restores from an
+    existing checkpoint and continues the exact optimization trajectory
+    (the restored state is bitwise the saved one — kill-and-resume equals an
+    uninterrupted run, asserted in tests/test_fit.py).
     """
+    from gpgpuraytrace_tpu.utils.checkpoint import load_fit_state, save_fit_state
+
     train_leaves, merge = partition_scene(scene, trainable or default_trainable)
     tx = optax.adam(learning_rate)
     opt_state = tx.init(train_leaves)
+    start, losses = 0, []
+    if resume and save_path and os.path.exists(save_path):
+        train_leaves, opt_state, start, losses = load_fit_state(
+            save_path, train_leaves, opt_state
+        )
+        log_fn(f"fit: resumed from {save_path} at step {start}")
     step = make_fit_step(cfg, merge, tx)
 
-    losses = []
-    for i in range(steps):
+    for i in range(start, steps):
         train_leaves, opt_state, loss = step(train_leaves, opt_state, target)
         losses.append(float(loss))
         if log_every and (i % log_every == 0 or i == steps - 1):
             log_fn(f"fit step {i:4d}  loss {losses[-1]:.6e}")
+        if save_path and (
+            (save_every and (i + 1) % save_every == 0) or i == steps - 1
+        ):
+            save_fit_state(save_path, train_leaves, opt_state, i + 1, losses)
     return merge(train_leaves), losses
 
 

@@ -102,6 +102,50 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.noise.seed) == int(scene.noise.seed)
 
 
+def test_fit_kill_and_resume_is_exact(tmp_path):
+    """Kill-and-resume: a fit checkpointed at step 6 and resumed for the
+    remaining 6 steps lands on BITWISE the same parameters and losses as an
+    uninterrupted 12-step run (SURVEY.md §6 resumability; the restored
+    leaves/optimizer state are exact float32)."""
+    small = dataclasses.replace(CFG, height=16, width=32, max_steps=16)
+    target_scene = default_scene(num_octaves=2)
+    target = render_jax(target_scene, small)
+    bad = perturb_scene(target_scene, jax.random.PRNGKey(5), rel=0.2)
+    path = os.path.join(tmp_path, "fit.npz")
+
+    full, losses_full = fit(
+        bad, small, target, steps=12, learning_rate=1e-2, log_every=0
+    )
+    # "Killed" run: stops at step 6, checkpoint written by save_every.
+    fit(
+        bad, small, target, steps=6, learning_rate=1e-2, log_every=0,
+        save_path=path, save_every=6,
+    )
+    resumed, losses_resumed = fit(
+        bad, small, target, steps=12, learning_rate=1e-2, log_every=0,
+        save_path=path, save_every=6, resume=True,
+    )
+    assert losses_resumed == losses_full
+    for a, b in zip(
+        jax.tree_util.tree_leaves(resumed), jax.tree_util.tree_leaves(full)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_resume_without_checkpoint_starts_fresh(tmp_path):
+    small = dataclasses.replace(CFG, height=16, width=32, max_steps=16)
+    target_scene = default_scene(num_octaves=2)
+    target = render_jax(target_scene, small)
+    bad = perturb_scene(target_scene, jax.random.PRNGKey(5), rel=0.2)
+    path = os.path.join(tmp_path, "missing.npz")
+    _, losses = fit(
+        bad, small, target, steps=3, learning_rate=1e-2, log_every=0,
+        save_path=path, save_every=2, resume=True,
+    )
+    assert len(losses) == 3
+    assert os.path.exists(path)
+
+
 def test_flythrough_frames():
     from gpgpuraytrace_tpu.ops.flythrough import fly_frames
 
