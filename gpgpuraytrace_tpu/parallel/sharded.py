@@ -73,7 +73,13 @@ def _sharded_loss_and_grad_body(merge, cfg: RenderConfig, mesh: Mesh):
     (merge, cfg, mesh). Kept separate from the jitted wrapper so callers that
     embed it in a larger jit (the fit step) don't nest jit-of-shard_map inside
     jit — nesting re-traces the SPMD program and multiplies compile time ~10x
-    on wide meshes (measured 221 s vs 18 s at 8 devices)."""
+    on wide meshes (measured 221 s vs 18 s at 8 devices).
+
+    Caching caveat: the cache key uses ``merge`` by *identity* (closures are
+    not value-hashable). Call sites must reuse one ``partition_scene`` result;
+    building a fresh merge closure per call occupies a new cache slot and
+    forces a full SPMD recompile. Applies equally to every cached builder
+    here (_sharded_loss_and_grad_fn, make_sharded_fit_step)."""
     local_h = _local_rows(cfg, mesh.shape[TILE_AXIS])
     inv_npix = 1.0 / (cfg.height * cfg.width * 3)
 
@@ -123,13 +129,19 @@ def sharded_loss_and_grad(
     return _sharded_loss_and_grad_fn(merge, cfg, mesh)(train_leaves, target)
 
 
+@functools.lru_cache(maxsize=64)
 def make_sharded_fit_step(
     cfg: RenderConfig, mesh: Mesh, merge, tx: optax.GradientTransformation
 ):
     """jit-compiled sharded training step over the trainable-leaf list:
     (train_leaves, opt_state, target) → (train_leaves, opt_state, loss).
     Leaves/optimizer state replicated, target row-sharded; the update itself
-    is replicated elementwise work."""
+    is replicated elementwise work.
+
+    Cached by identity on (cfg, mesh, merge, tx) like the sibling builders
+    (full-SPMD compiles cost ~18 s on wide meshes): reuse ONE
+    partition_scene merge and ONE optax transformation per fit loop, or each
+    call recompiles."""
 
     loss_and_grad = _sharded_loss_and_grad_body(merge, cfg, mesh)
 

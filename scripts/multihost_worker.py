@@ -50,9 +50,12 @@ def main():
         step = make_sharded_fit_step(cfg, mesh, merge, tx)
         leaves, _, loss = step(leaves, tx.init(leaves), target)
         jax.block_until_ready(loss)
+        # Full-precision loss (hex) so the launcher/test can assert the
+        # psum'd loss is IDENTICAL on every process, not just close.
         print(
             f"proc {jax.process_index()}/{jax.process_count()}: "
-            f"{n_dev} devices, render {img.shape}, loss {float(loss):.6f}, OK"
+            f"{n_dev} devices, render {img.shape}, loss {float(loss):.6f} "
+            f"losshex={float(loss).hex()}, OK"
         )
 
 
