@@ -1,0 +1,121 @@
+"""On-hardware parity gate (SURVEY.md §5 kernel row: "interpret=True on CPU
++ real-TPU run"; VERDICT round-1 missing item 6).
+
+Asserts, on the real TPU chip, that the fused Pallas forward kernel and the
+fused Pallas backward kernel reproduce the pure-XLA path:
+
+  * image parity at a small frame (Mosaic vs XLA scheduling of identical
+    math; tolerance covers fma/reassociation differences), and
+  * full-leaf gradient parity of the fused backward vs the XLA
+    checkpoint backward (same custom-VJP checkpoint, two implementations).
+
+Runs in under ~60 s warm via the persistent compilation cache shared with
+bench.py (.jax_cache/). Run this before recording any perf claim:
+
+    python scripts/tpu_parity.py            # heightfield + volumetric
+    python scripts/tpu_parity.py --size 256 # bigger frame
+
+Exit code 0 = parity holds on hardware.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def check(volumetric: bool, size: int, octaves: int) -> None:
+    from gpgpuraytrace_tpu.models.scene import RenderConfig, default_scene
+    from gpgpuraytrace_tpu.ops.fit import partition_scene
+    from gpgpuraytrace_tpu.ops.render import render
+
+    mode = "volumetric" if volumetric else "heightfield"
+    cfg = RenderConfig(
+        height=size,
+        width=size,
+        max_steps=96,
+        num_octaves=octaves,
+        use_pallas=True,
+        volumetric=volumetric,
+        step_relax=0.4 if volumetric else 0.7,
+    )
+    scene = default_scene(num_octaves=octaves, volumetric=volumetric)
+    leaves, merge = partition_scene(scene, trainable=lambda name: True)
+
+    def make_loss(c):
+        @jax.jit
+        def loss_and_grad(leaves):
+            def loss(lv):
+                img = render(merge(lv), c)
+                return jnp.mean(img * jnp.cos(img)), img
+
+            (v, img), g = jax.value_and_grad(loss, has_aux=True)(leaves)
+            return v, img, g
+
+        return loss_and_grad
+
+    t0 = time.perf_counter()
+    _, img_pallas, g_pallas = jax.block_until_ready(make_loss(cfg)(leaves))
+    _, img_xla, g_xla_ckpt = jax.block_until_ready(
+        make_loss(dataclasses.replace(cfg, pallas_bwd=False))(leaves)
+    )
+    _, img_pure, _ = jax.block_until_ready(
+        make_loss(dataclasses.replace(cfg, use_pallas=False))(leaves)
+    )
+    dt = time.perf_counter() - t0
+
+    # Image parity: Mosaic and XLA schedule identical f32 math differently
+    # (fma contraction, reassociation); per-pixel differences concentrate on
+    # marginal hit/miss pixels, so gate on the 99.5th percentile + mean.
+    d = np.abs(np.asarray(img_pallas) - np.asarray(img_pure))
+    frac_close = float((d.max(axis=-1) < 5e-3).mean())
+    assert frac_close > 0.995, f"{mode}: image parity {frac_close:.4f} < 0.995"
+    assert float(d.mean()) < 2e-4, f"{mode}: image mean err {d.mean():.2e}"
+
+    # Gradient parity: fused Pallas bwd vs XLA checkpoint bwd — same
+    # checkpoint, same math, two implementations; must agree tightly.
+    for gk, gx in zip(g_pallas, g_xla_ckpt):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gx), rtol=5e-4, atol=1e-6,
+            err_msg=f"{mode}: fused-bwd grad mismatch vs XLA checkpoint bwd",
+        )
+    print(
+        f"  {mode}: image parity {frac_close * 100:.2f}% "
+        f"(mean err {d.mean():.1e}), grads allclose on "
+        f"{len(g_pallas)} leaves  [{dt:.1f}s]"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--octaves", type=int, default=6)
+    args = ap.parse_args()
+
+    backend = jax.default_backend()
+    print(f"tpu_parity: backend={backend} devices={jax.devices()}")
+    if backend != "tpu":
+        print("WARNING: not running on TPU — this gate is for hardware runs")
+    check(volumetric=False, size=args.size, octaves=args.octaves)
+    check(volumetric=True, size=args.size, octaves=min(args.octaves, 4))
+    print("tpu_parity: OK (fused fwd+bwd kernels match XLA on this chip)")
+
+
+if __name__ == "__main__":
+    main()
