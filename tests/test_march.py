@@ -101,6 +101,95 @@ def test_miss_pixels_have_zero_grad():
     assert float(g) == 0.0
 
 
+def _bumpy_noise(num_octaves=1, warp=0.0):
+    """Nonzero-amplitude terrain (single-octave Perlin bumps), optional 3D
+    warp — the 'analytic warped-bump' cases of SURVEY.md §5 (the sphere named
+    there is inexpressible in a heightfield+warp field model; these replace
+    it as the analytic/certified march references)."""
+    return NoiseParams(
+        amplitudes=jnp.asarray([0.8 / 2**i for i in range(num_octaves)], jnp.float32),
+        lacunarity=jnp.float32(2.0),
+        height_scale=jnp.float32(2.0),
+        height_offset=jnp.float32(0.5),
+        horizontal_scale=jnp.float32(0.25),
+        warp_amplitude=jnp.float32(warp),
+        warp_frequency=jnp.float32(0.25),
+    )
+
+
+def test_bumpy_lattice_column_hit_exact():
+    """Closed form with a genuinely bumpy terrain: Perlin noise is exactly 0
+    on its integer lattice, so along the vertical column x = z = 0 (lattice
+    coordinates for horizontal_scale=0.25: 0 is an integer) every octave
+    vanishes and the surface height is exactly height_offset. A straight-down
+    ray from (0, 5, 0) must hit at t = 5 - height_offset = 4.5 even though
+    the neighbouring terrain is full-amplitude bumps."""
+    o = jnp.asarray([[0.0, 5.0, 0.0]])
+    d = jnp.asarray([[0.0, -1.0, 0.0]])
+    t, hit = march(CFG, o, d, _bumpy_noise(num_octaves=3))
+    assert bool(hit[0])
+    np.testing.assert_allclose(float(t[0]), 4.5, rtol=1e-3)
+
+
+def _first_root_dense(f_of_t, t_min, t_max, n=20000, iters=60):
+    """Certified ground-truth first crossing: dense scan for the first sign
+    change, then bisection to ~1e-8. Returns (t_root, found)."""
+    ts = np.linspace(t_min, t_max, n, dtype=np.float64)
+    fs = np.asarray(jax.vmap(f_of_t)(jnp.asarray(ts, jnp.float32)), np.float64)
+    sign = fs <= 0.0
+    idx = np.argmax(sign)
+    if not sign.any() or idx == 0:
+        return None, False
+    lo, hi = ts[idx - 1], ts[idx]
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        if float(f_of_t(jnp.float32(mid))) <= 0.0:
+            hi = mid
+        else:
+            lo = mid
+    return 0.5 * (lo + hi), True
+
+
+def test_volumetric_warped_bump_march_vs_dense_ground_truth():
+    """Warped-bump march correctness without a closed form: for a fan of rays
+    through the full 3D-warped volumetric field, the march + Newton polish
+    must land on the SAME first root that a 20k-sample dense scan + bisection
+    certifies (and agree on hit/miss)."""
+    from gpgpuraytrace_tpu.ops.field import field
+
+    noise = _bumpy_noise(num_octaves=2, warp=0.6)
+    cfg = dataclasses.replace(
+        CFG, volumetric=True, step_relax=0.35, max_steps=256, t_max=60.0
+    )
+    o_np = np.asarray([0.0, 6.0, -8.0], np.float32)
+    dirs = []
+    for yaw in (-0.3, 0.0, 0.25):
+        for pitch in (-0.5, -0.25):
+            d = np.asarray(
+                [np.sin(yaw), np.sin(pitch), np.cos(yaw) * np.cos(pitch)],
+                np.float32,
+            )
+            dirs.append(d / np.linalg.norm(d))
+    dirs = np.stack(dirs)
+    o = jnp.broadcast_to(jnp.asarray(o_np), dirs.shape)
+    t_m, hit_m = march(cfg, o, jnp.asarray(dirs), noise)
+
+    for k in range(dirs.shape[0]):
+        def f_of_t(t, d=jnp.asarray(dirs[k])):
+            p = (jnp.asarray(o_np) + t * d)[None]
+            return field(p, noise, True, cfg.warp_octaves)[0]
+
+        t_ref, found = _first_root_dense(f_of_t, cfg.t_min, cfg.t_max)
+        assert found == bool(hit_m[k]), f"ray {k}: hit/miss disagrees"
+        if found:
+            # march stops at f < eps·t (a near-surface point slightly before
+            # the root); tolerance is the eps·t band plus Newton residual.
+            np.testing.assert_allclose(
+                float(t_m[k]), t_ref, rtol=0, atol=4e-3 * t_ref + 1e-3,
+                err_msg=f"ray {k}",
+            )
+
+
 def test_march_from_saved_matches_march_grads():
     o = jnp.asarray([[0.0, 5.0, 0.0]])
     d = jnp.asarray([[0.0, -1.0, 1.0]]) / np.sqrt(2.0)
