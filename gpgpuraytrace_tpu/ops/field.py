@@ -59,6 +59,24 @@ def warp_term(
     return wa * n, grad
 
 
+def envelope_height(
+    noise: NoiseParams, volumetric: bool = False, warp_octaves: int = 2
+) -> jax.Array:
+    """Certified upper bound on the terrain surface height: every noise
+    octave lies in [-1, 1], so h(x,z) + w(p) ≤ height_offset +
+    |height_scale|·Σ|amp| (+ |warp_amplitude|·Σ gain^i in volumetric mode)
+    everywhere. Above this plane the field is provably positive — the march
+    can skip to it analytically (sky-envelope skip) and any ray above it
+    heading up is a certain miss."""
+    env = noise.height_offset + jnp.abs(noise.height_scale) * jnp.sum(
+        jnp.abs(noise.amplitudes)
+    )
+    if volumetric:
+        tail = float(sum(WARP_GAIN**i for i in range(warp_octaves)))
+        env = env + jnp.abs(noise.warp_amplitude) * tail
+    return env
+
+
 def field(
     p: jax.Array,
     noise: NoiseParams,

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from gpgpuraytrace_tpu.models.scene import NoiseParams, RenderConfig
-from gpgpuraytrace_tpu.ops.field import field, field_and_grad
+from gpgpuraytrace_tpu.ops.field import envelope_height, field, field_and_grad
 
 _NEWTON_ITERS = 4
 _DENOM_EPS = 1e-4
@@ -59,9 +59,27 @@ def _march_loop(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Raw march: returns (t, hit, steps_used). Not differentiable (int loop)."""
     shape = ray_o.shape[:-1]
-    t0 = jnp.full(shape, cfg.t_min, jnp.float32)
+    oy = ray_o[..., 1]
+    dy = ray_d[..., 1]
+
+    # Sky-envelope skip (certified, exact): no surface exists above
+    # ``env``, so (a) a ray starting above it fast-forwards analytically to
+    # the envelope plane (or is an immediate miss if heading up), and (b) a
+    # ray that climbs above it while heading up is done — no more crossings
+    # are possible. This removes the many-step sky crawl that dominates the
+    # whole-tile divergence tax in the fused kernel (measured 2.6x at 128²
+    # before this skip).
+    env = envelope_height(noise, cfg.volumetric, cfg.warp_octaves) + cfg.hit_eps
+    t_enter = jnp.where(
+        dy < 0.0, (env - oy) / jnp.where(dy < 0.0, dy, 1.0), jnp.inf
+    )
+    t0 = jnp.where(
+        oy > env,
+        jnp.clip(t_enter, cfg.t_min, cfg.t_max),
+        jnp.full(shape, cfg.t_min, jnp.float32),
+    )
     hit0 = jnp.zeros(shape, bool)
-    active0 = jnp.ones(shape, bool)
+    active0 = t0 < cfg.t_max
     steps0 = jnp.zeros(shape, jnp.int32)
 
     eps_m = cfg.hit_eps * cfg.march_eps_scale
@@ -72,13 +90,17 @@ def _march_loop(
         f = field(p, noise, cfg.volumetric, cfg.warp_octaves)
         is_hit = active & (f < eps_m * t)
         advance = active & ~is_hit
+        # Envelope escape: above the certified bound and not descending —
+        # a certain miss; jump straight to t_max.
+        escape = advance & (p[..., 1] > env) & (dy >= 0.0)
+        advance = advance & ~escape
         step = jnp.maximum(cfg.step_relax * f, cfg.hit_eps)
         if cfg.step_floor_t > 0.0:
             # Screen-space step floor (mirrors kernels/trace.py): bounds the
             # grazing-ray crawl; oversteps land inside (f<0) and the
             # bracketed Newton polish resolves the exact root.
             step = jnp.maximum(step, cfg.step_floor_t * t)
-        t_new = jnp.where(advance, t + step, t)
+        t_new = jnp.where(advance, t + step, jnp.where(escape, cfg.t_max, t))
         return (
             jnp.minimum(t_new, cfg.t_max),
             jnp.where(advance, t, prev_t),  # last t before the current one

@@ -58,7 +58,15 @@ def test_march_with_stats_step_counts():
     d = jnp.asarray([[0.0, -1.0, 0.0]])
     t, hit, steps = march_with_stats(CFG, o, d, _flat_noise())
     assert bool(hit[0])
-    assert 0 < int(steps[0]) <= CFG.max_steps
+    # 0 steps is legitimate: the sky-envelope skip fast-forwards this ray
+    # analytically to the envelope plane, which for a flat field IS the
+    # surface — the first field evaluation already registers the hit.
+    assert 0 <= int(steps[0]) <= CFG.max_steps
+
+    # A ray entering below the envelope must still march normally.
+    t2, hit2, steps2 = march_with_stats(CFG, o, d, _bumpy_noise(num_octaves=3))
+    assert bool(hit2[0])
+    assert 0 < int(steps2[0]) <= CFG.max_steps
 
 
 def test_implicit_grad_plane_height_offset():
