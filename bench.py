@@ -227,6 +227,30 @@ def _run_variant(use_pallas: bool, h: int, w: int, octaves: int, iters: int,
     )
 
 
+_RECORDED_BASELINE = os.path.join(_REPO, "bench_reference.json")
+
+
+def _recorded_xla_baseline(h: int, w: int, octaves: int):
+    """Stored XLA-baseline measurement (bench_reference.json, committed).
+
+    The pure-XLA fwd+bwd baseline can take >480 s of cold Mosaic-free XLA
+    compile through the remote-compile tunnel — longer than its child
+    timeout on a bad day. The baseline denominator should not vanish when
+    that happens (round 2 saw exactly this: pallas ok in 63 s, xla child
+    timed out, vs_baseline degraded to 1.0), so a previously *measured*
+    number for the same (h, w, octaves) config is kept on disk and used,
+    clearly labeled, when the live run fails.
+    """
+    try:
+        with open(_RECORDED_BASELINE) as f:
+            rec = json.load(f)
+        entry = rec[f"{w}x{h}x{octaves}"]
+        return {"rays_per_sec": float(entry["xla_rays_per_sec"]),
+                "backend": entry.get("backend", "tpu")}, entry
+    except (OSError, KeyError, ValueError):
+        return None, None
+
+
 def run_bench(size=(512, 512), octaves: int = 6, iters: int = 10) -> dict:
     h, w = size
     # Headline (pallas) first: the xla baseline's fwd+bwd compile can take
@@ -237,7 +261,16 @@ def run_bench(size=(512, 512), octaves: int = 6, iters: int = 10) -> dict:
     status = {"pallas": st_pallas, "xla": st_xla}
     note = None
     if pallas and not xla:
-        note = f"xla_baseline_unavailable ({st_xla}); vs_baseline=pallas-only"
+        recorded, entry = _recorded_xla_baseline(h, w, octaves)
+        if recorded is not None:
+            xla = recorded
+            status["xla"] = (
+                f"live-run-failed ({st_xla}); using recorded measurement "
+                f"from {entry.get('measured', '?')}"
+            )
+            note = "xla_baseline_from_recorded_measurement"
+        else:
+            note = f"xla_baseline_unavailable ({st_xla}); vs_baseline=pallas-only"
     if xla is None and pallas is None:
         # Device path unavailable (e.g. wedged tunnel): CPU fallback so the
         # harness still emits a valid measurement, clearly labeled.
@@ -263,7 +296,8 @@ def run_bench(size=(512, 512), octaves: int = 6, iters: int = 10) -> dict:
     baseline = xla or pallas
     detail = {}
     if xla:
-        detail["xla"] = round(xla["rays_per_sec"])
+        key = "xla_recorded" if note == "xla_baseline_from_recorded_measurement" else "xla"
+        detail[key] = round(xla["rays_per_sec"])
     if pallas:
         detail["pallas"] = round(pallas["rays_per_sec"])
         detail["pallas_ms_per_step"] = round(pallas["ms_per_step"], 3)

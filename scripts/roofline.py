@@ -1,0 +1,303 @@
+"""Speed-of-light analysis for the fused march kernels (VERDICT round-1
+item 5; BASELINE.json:5 "at speed-of-light per chip").
+
+Three measurements, one conclusion:
+
+1. **VPU peak on THIS chip** — a Pallas microbenchmark of chained f32 FMAs
+   on (8,128)-aligned tiles (the march is elementwise VPU work; the MXU is
+   irrelevant to a ray marcher). This is the empirical "speed of light",
+   no datasheet guessing.
+2. **Ops per ray** — counted from the actual jaxprs of the kernel's field
+   functions (value path, derivative path, shade) weighted per element,
+   times the measured march-step distribution (march_with_stats) at the
+   bench config. Two numbers fall out:
+     * useful ops/ray  (per-lane steps — what the physics needs)
+     * executed ops/ray (whole-tile chunked march: every lane pays the
+       tile's max step count rounded up to CHUNK — the SIMD divergence tax)
+3. **Achieved ops/s** — measured Mrays/s × executed ops/ray, as a fraction
+   of (1).
+
+    python scripts/roofline.py             # uses the attached backend
+    python scripts/roofline.py --mrays 99  # score an externally measured rate
+
+Emits one JSON line; prose goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+# Per-element issue-slot weights for VPU elementwise primitives. Almost all
+# march-loop ops (add/mul/xor/shift/and/floor/convert/min/max/select) are
+# single-slot; mul+add pairs may fuse to FMA (we count them separately, so
+# the "peak" comparison is conservative for the kernel). Transcendentals go
+# through the special-function path; rsqrt ≈ 1 approx op + 1 Newton
+# iteration ≈ 4 slots (assumption, stated in the output).
+_WEIGHTS = {
+    "rsqrt": 4.0,
+    "exp": 4.0,
+    "log": 4.0,
+    "sin": 4.0,
+    "cos": 4.0,
+    "integer_pow": 2.0,
+    "div": 2.0,
+}
+_ZERO_COST = {
+    "broadcast_in_dim", "reshape", "squeeze", "slice", "concatenate",
+    "transpose", "copy", "convert_element_type_noop", "stop_gradient",
+    "custom_jvp_call", "custom_vjp_call", "pjit",
+}
+
+
+def _count_jaxpr(jaxpr, consts_shape_elems) -> float:
+    """Total per-element op slots in a (closed) jaxpr, recursing into calls."""
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        inner = None
+        for k in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+            if k in eqn.params:
+                inner = eqn.params[k]
+                break
+        if inner is not None:
+            cj = inner.jaxpr if hasattr(inner, "jaxpr") else inner
+            total += _count_jaxpr(cj, consts_shape_elems)
+            continue
+        if prim in _ZERO_COST:
+            continue
+        elems = max(
+            (int(np.prod(v.aval.shape)) for v in eqn.outvars if hasattr(v, "aval")),
+            default=1,
+        )
+        if elems < consts_shape_elems:
+            # scalar/broadcast bookkeeping — negligible next to tile ops
+            continue
+        total += _WEIGHTS.get(prim, 1.0) * elems
+    return total
+
+
+def ops_per_call(fn, *args) -> float:
+    """Op slots per element for fn evaluated on (8,128) f32 tiles."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    elems = 8 * 128
+    return _count_jaxpr(jaxpr.jaxpr, elems) / elems
+
+
+def count_kernel_ops(cfg, scene):
+    """Per-ray op accounting from the kernel's own building blocks."""
+    from gpgpuraytrace_tpu.kernels.trace import _field_fns, _raygen, _shade_tile
+    from gpgpuraytrace_tpu.utils import packing as pk
+
+    packed, seed = pk.pack_scene(scene, cfg.height, cfg.width, 0.0)
+    theta = tuple(packed[0, k] for k in range(packed.shape[1]))
+    sc = lambda k: theta[k]  # noqa: E731
+    tile = jnp.ones((8, 128), jnp.float32)
+    i = jnp.int32(0)
+
+    def fwd_value_step(t):
+        o, d = _raygen(sc, cfg, 8, i, i)
+        _, field_at = _field_fns(sc, seed[0, 0], cfg, o, d)
+        return field_at(t)
+
+    def fwd_grad_eval(t):
+        o, d = _raygen(sc, cfg, 8, i, i)
+        field_grad_at, _ = _field_fns(sc, seed[0, 0], cfg, o, d)
+        return field_grad_at(t)
+
+    def shade_eval(t):
+        o, d = _raygen(sc, cfg, 8, i, i)
+        field_grad_at, _ = _field_fns(sc, seed[0, 0], cfg, o, d)
+        return _shade_tile(sc, cfg, t, tile > 0.5, d, field_grad_at)
+
+    def bwd_eval(t):
+        # the backward kernel's two pullbacks at the saved t
+        def color_of(th, t):
+            s = lambda k: th[k]  # noqa: E731
+            o, d = _raygen(s, cfg, 8, i, i)
+            fga, _ = _field_fns(s, seed[0, 0], cfg, o, d)
+            return _shade_tile(s, cfg, t, tile > 0.5, d, fga)
+
+        _, pull = jax.vjp(color_of, theta, t)
+        th_bar, t_bar = pull((tile, tile, tile))
+
+        def f_of(th):
+            s = lambda k: th[k]  # noqa: E731
+            o, d = _raygen(s, cfg, 8, i, i)
+            _, fat = _field_fns(s, seed[0, 0], cfg, o, d)
+            return fat(t)
+
+        _, pull2 = jax.vjp(f_of, theta)
+        (th_bar2,) = pull2(t_bar)
+        return th_bar, th_bar2
+
+    return {
+        "value_step": ops_per_call(fwd_value_step, tile),  # march step field
+        "grad_eval": ops_per_call(fwd_grad_eval, tile),  # Newton/shade eval
+        "shade": ops_per_call(shade_eval, tile),
+        "bwd_total": ops_per_call(bwd_eval, tile),
+    }
+
+
+def measure_vpu_peak():
+    """Empirical VPU f32 peak: ``CHAINS`` independent FMA streams per loop
+    iteration (a single chain is pipeline-latency-bound — measured 0.33
+    Tops/s vs ~3 Tops/s with ILP — so the streams must be independent), each
+    a (TH, TW) VMEM tile."""
+    from jax.experimental import pallas as pl
+
+    ITERS = 512
+    CHAINS = 8
+    TH, TW = 64, 128
+    GRID = 64
+
+    def kernel(x_ref, o_ref):
+        xs = [x_ref[:, :] * jnp.float32(1.0 + 1e-6 * c) for c in range(CHAINS)]
+        a = jnp.float32(1.0000001)
+        b = jnp.float32(1e-7)
+
+        def body(_, xs):
+            return tuple(x * a + b for x in xs)
+
+        xs = jax.lax.fori_loop(0, ITERS, body, tuple(xs))
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + x
+        o_ref[:, :] = acc
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            grid=(GRID,),
+            in_specs=[pl.BlockSpec((TH, TW), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((TH, TW), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((TH * GRID, TW), jnp.float32),
+        )(x)
+
+    x = jnp.ones((TH * GRID, TW), jnp.float32)
+    jax.block_until_ready(run(x))
+    dt = min(
+        _timed(lambda: jax.block_until_ready(run(x))) for _ in range(5)
+    )
+    flops = 2.0 * ITERS * CHAINS * TH * TW * GRID  # fma = 2 flops
+    return flops / dt
+
+
+def _timed(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def march_step_stats(cfg, scene):
+    """Per-lane and tile-executed step statistics at the bench config."""
+    from gpgpuraytrace_tpu.models.scene import RenderConfig
+    from gpgpuraytrace_tpu.ops.camera import generate_rays
+    from gpgpuraytrace_tpu.ops.march import march_with_stats
+    from gpgpuraytrace_tpu.kernels.trace import CHUNK, TILE_W
+    import dataclasses
+
+    xcfg = dataclasses.replace(cfg, use_pallas=False)
+    o, d = generate_rays(scene.camera, cfg.height, cfg.width)
+    _, hit, steps = jax.jit(
+        lambda o, d: march_with_stats(xcfg, o, d, scene.noise)
+    )(o, d)
+    steps = np.asarray(steps)
+    th = cfg.tile_h
+    tiles = steps.reshape(
+        cfg.height // th, th, cfg.width // TILE_W, TILE_W
+    ).transpose(0, 2, 1, 3)
+    tile_max = tiles.max(axis=(2, 3))
+    executed = np.ceil(np.maximum(tile_max, 1) / CHUNK) * CHUNK
+    return {
+        "steps_mean": float(steps.mean()),
+        "steps_p99": float(np.percentile(steps, 99)),
+        "hit_rate": float(np.asarray(hit).mean()),
+        "tile_exec_steps_mean": float(executed.mean()),
+        "divergence_tax": float(executed.mean() / max(steps.mean(), 1e-9)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--octaves", type=int, default=6)
+    ap.add_argument("--mrays-fwd", type=float, default=None,
+                    help="measured forward Mrays/s to score (else skip)")
+    ap.add_argument("--mrays-fwdbwd", type=float, default=None)
+    args = ap.parse_args()
+
+    from gpgpuraytrace_tpu.models.scene import RenderConfig, default_scene
+
+    cfg = RenderConfig(
+        height=args.size, width=args.size, max_steps=128,
+        num_octaves=args.octaves,
+    )
+    scene = default_scene(num_octaves=args.octaves)
+
+    ops = count_kernel_ops(cfg, scene)
+    stats = march_step_stats(cfg, scene)
+    print(f"op counts/elem: {ops}", file=sys.stderr)
+    print(f"march stats: {stats}", file=sys.stderr)
+
+    # Forward ray cost: executed march steps × value-path field + Newton
+    # polish (1 + (ITERS-1) grad evals… the kernel does 1 bracket-setup eval,
+    # 3 refine evals, 1 final shade eval) + shade blend.
+    n_grad_evals = 5.0
+    fwd_useful = stats["steps_mean"] * ops["value_step"] + n_grad_evals * ops[
+        "grad_eval"
+    ] + ops["shade"]
+    fwd_exec = stats["tile_exec_steps_mean"] * ops["value_step"] + (
+        n_grad_evals * ops["grad_eval"] + ops["shade"]
+    )
+    bwd_exec = ops["bwd_total"]
+
+    on_tpu = jax.default_backend() == "tpu"
+    peak = measure_vpu_peak() if on_tpu else None
+    if peak:
+        print(f"measured VPU f32 peak: {peak / 1e12:.2f} Tops/s", file=sys.stderr)
+
+    out = {
+        "metric": "roofline_ops_per_ray",
+        "config": f"{args.size}x{args.size}x{args.octaves}oct",
+        "ops": {k: round(v, 1) for k, v in ops.items()},
+        "march": stats,
+        "fwd_ops_per_ray_useful": round(fwd_useful),
+        "fwd_ops_per_ray_executed": round(fwd_exec),
+        "bwd_ops_per_ray": round(bwd_exec),
+        "vpu_peak_tops": round(peak / 1e12, 3) if peak else None,
+    }
+    if peak and args.mrays_fwd:
+        out["fwd_pct_of_roofline"] = round(
+            100.0 * args.mrays_fwd * 1e6 * fwd_exec / peak, 1
+        )
+        out["fwd_pct_useful"] = round(
+            100.0 * args.mrays_fwd * 1e6 * fwd_useful / peak, 1
+        )
+    if peak and args.mrays_fwdbwd:
+        out["fwdbwd_pct_of_roofline"] = round(
+            100.0 * args.mrays_fwdbwd * 1e6 * (fwd_exec + bwd_exec) / peak, 1
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
