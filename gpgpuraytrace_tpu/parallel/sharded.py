@@ -6,10 +6,13 @@ its own row band (ICI-local, zero cross-device traffic), then the small
 terrain/camera/material parameter gradients are ``psum``-all-reduced.
 
 Overlap (BASELINE.json:5 "all-reduced and overlapped with the backward
-march"): gradients are psum'd **per pytree leaf**, so XLA's latency-hiding
-scheduler can launch each leaf's all-reduce as soon as its local partial is
-ready while the remaining backward work (other leaves' VJP accumulation)
-continues — rather than one fused all-reduce gated on the full backward.
+march"): gradients are psum'd **per pytree leaf**. Compiled-schedule
+analysis (scripts/profile_overlap.py; ARCHITECTURE.md "Overlap … measured")
+shows XLA's all-reduce combiner fuses the 22 per-leaf psums into ONE tuple
+all-reduce of ~45 f32 (180 B) — pure launch latency, nothing worth
+overlapping against a multi-ms backward. Per-leaf emission is kept because
+it costs nothing and leaves the combiner/scheduler free: with large future
+parameter tensors the same code shape lets XLA split and overlap them.
 """
 
 from __future__ import annotations
