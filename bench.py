@@ -11,8 +11,12 @@ Robustness (hardened after round 1, where the Pallas child silently timed
 out and the record degraded to the XLA fallback with no trace):
 
 * every measurement runs in a child process under a hard timeout;
-* children use a **persistent compilation cache** (``.jax_cache/`` next to
-  this file) so repeat runs compile in seconds instead of minutes;
+* children use a persistent compilation cache (``.jax_cache/`` next to
+  this file). Measured caveat: the cache hits across processes for plain
+  XLA programs but NOT for the big bench executables (each run writes a
+  fresh fingerprint — the Pallas/Mosaic custom-call payload is not
+  bit-deterministic across processes), so budget for cold compiles: the
+  fused-Pallas child compiles in ~40–190 s, well inside its 480 s timeout;
 * each variant compiles **one** executable (a dynamic-trip-count
   ``fori_loop`` over fwd+bwd steps) instead of round 1's two scan programs —
   roughly halving cold-compile time;
@@ -291,6 +295,21 @@ def run_bench(size=(512, 512), octaves: int = 6, iters: int = 10) -> dict:
         _STATS_CODE, [str(h), str(w), str(octaves)], _STATS_TIMEOUT_S
     )
     status["stats"] = st_stats
+    if stats is None:
+        # March-stats compile (pure-XLA march_with_stats) can exceed the
+        # child timeout cold; fall back to the recorded measurement for
+        # this config, clearly labeled (observability data only — never
+        # affects the headline or vs_baseline).
+        try:
+            with open(_RECORDED_BASELINE) as f:
+                entry = json.load(f)[f"{w}x{h}x{octaves}"]
+            stats = entry["march_stats"]
+            status["stats"] = (
+                f"live-run-failed ({st_stats}); using recorded march stats "
+                f"from {entry.get('measured', '?')}"
+            )
+        except (OSError, KeyError, ValueError):
+            pass
 
     main = pallas or xla
     baseline = xla or pallas
