@@ -87,6 +87,7 @@ def cmd_fit(args):
     scene, losses = fit(
         scene0, cfg, target, steps=args.steps, learning_rate=args.lr,
         save_path=args.save, save_every=args.save_every, resume=args.resume,
+        steps_per_call=args.steps_per_call,
     )
     print(
         f"fit: loss {losses[0]:.4e} -> {losses[-1]:.4e} over {len(losses)} steps"
@@ -106,7 +107,7 @@ def cmd_fit(args):
 def cmd_fly(args):
     from gpgpuraytrace_tpu.models.scene import default_scene
     from gpgpuraytrace_tpu.ops.flythrough import fly_frames
-    from gpgpuraytrace_tpu.utils.image import to_uint8, write_png
+    from gpgpuraytrace_tpu.utils.image import write_png
     from gpgpuraytrace_tpu.utils.tweak import TweakWatcher, apply_tweaks
 
     cfg = _cfg_from_args(args)
@@ -148,7 +149,7 @@ def cmd_fly(args):
         ):
             path = os.path.join(args.out, f"frame_{idx:04d}.png")
             if writer is not None:
-                writer.push(path, to_uint8(frame))
+                writer.push(path, frame)  # uint8 straight from the device
             else:
                 write_png(path, frame)
             n += 1
@@ -228,6 +229,11 @@ def main(argv=None):
     sp.add_argument(
         "--resume", action="store_true",
         help="resume from --save PATH if it exists (exact continuation)",
+    )
+    sp.add_argument(
+        "--steps-per-call", type=int, default=1,
+        help="optimizer steps per compiled dispatch (lax.scan chunk); "
+        "identical trajectory, amortizes launch latency",
     )
     sp.add_argument("-o", "--out", default="")
     sp.set_defaults(fn=cmd_fit)

@@ -158,3 +158,34 @@ def test_flythrough_frames():
     assert np.isfinite(arr).all()
     # Camera moves → consecutive frames differ.
     assert not np.allclose(arr[0], arr[4], atol=1e-3)
+
+
+def test_fit_steps_per_call_identical_trajectory():
+    """Chunked driver loop (steps_per_call>1, lax.scan inside the dispatch)
+    must produce the same losses and parameters as per-step dispatching —
+    same math in the same order, only the launch granularity changes (the
+    scan and loop programs may fuse/reassociate differently, so equality is
+    to ~1e-4 relative, not bitwise). Covers a non-divisible tail chunk
+    (7 steps in chunks of 3)."""
+    small = dataclasses.replace(CFG, height=24, width=32, max_steps=32)
+    target_scene = default_scene(num_octaves=2)
+    target = render_jax(target_scene, small)
+    bad = perturb_scene(target_scene, jax.random.PRNGKey(3), rel=0.1)
+
+    fit1, losses1 = fit(bad, small, target, steps=7, learning_rate=1e-2,
+                        log_every=0)
+    fitk, lossesk = fit(bad, small, target, steps=7, learning_rate=1e-2,
+                        log_every=0, steps_per_call=3)
+    assert len(losses1) == len(lossesk) == 7
+    np.testing.assert_allclose(losses1, lossesk, rtol=1e-4)
+    # Params: tiny per-step reassociation differences are amplified through
+    # 7 Adam updates on a silhouette-sensitive objective (measured ~1e-4
+    # relative on CPU); a structural bug (stale target, dropped step, wrong
+    # order) would show up at O(1), far above this tolerance.
+    for a, b in zip(jax.tree_util.tree_leaves(fit1),
+                    jax.tree_util.tree_leaves(fitk)):
+        # atol is scaled to the optimizer, not the leaf: Adam moves each
+        # leaf ~lr=1e-2 per step, so 1e-4 = 1% of ONE step's motion.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
