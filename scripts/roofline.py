@@ -162,13 +162,14 @@ def measure_vpu_peak():
     Tops/s vs ~3 Tops/s with ILP — so the streams must be independent), each
     a (TH, TW) VMEM tile."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     ITERS = 512
     CHAINS = 8
     TH, TW = 64, 128
     GRID = 64
 
-    def kernel(x_ref, o_ref):
+    def kernel(x_ref, n_ref, o_ref):
         xs = [x_ref[:, :] * jnp.float32(1.0 + 1e-6 * c) for c in range(CHAINS)]
         a = jnp.float32(1.0000001)
         b = jnp.float32(1e-7)
@@ -176,27 +177,43 @@ def measure_vpu_peak():
         def body(_, xs):
             return tuple(x * a + b for x in xs)
 
-        xs = jax.lax.fori_loop(0, ITERS, body, tuple(xs))
+        xs = jax.lax.fori_loop(0, ITERS * n_ref[0, 0], body, tuple(xs))
         acc = xs[0]
         for x in xs[1:]:
             acc = acc + x
         o_ref[:, :] = acc
 
     @jax.jit
-    def run(x):
-        return pl.pallas_call(
+    def run(x, n):
+        out = pl.pallas_call(
             kernel,
             grid=(GRID,),
-            in_specs=[pl.BlockSpec((TH, TW), lambda i: (i, 0))],
+            in_specs=[
+                pl.BlockSpec((TH, TW), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
             out_specs=pl.BlockSpec((TH, TW), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((TH * GRID, TW), jnp.float32),
-        )(x)
+        )(x, n)
+        return jnp.sum(out)  # scalar: the host fetch is one RTT
 
-    x = jnp.ones((TH * GRID, TW), jnp.float32)
-    jax.block_until_ready(run(x))
-    dt = min(
-        _timed(lambda: jax.block_until_ready(run(x))) for _ in range(5)
-    )
+    # Trip-count differencing with value-fetch sync: through the TPU
+    # tunnel, block_until_ready can no-op on cache-loaded executables and
+    # a full-array pull is bandwidth-bound; T(4R) - T(R) on a traced
+    # repeat count cancels both the RTT and the fixed launch cost.
+    def timed(reps, salt):
+        n = jnp.full((1, 1), reps, jnp.int32)
+        x = jnp.full((TH * GRID, TW), 1.0 + 1e-9 * salt, jnp.float32)
+        jax.block_until_ready((n, x))
+        t0 = time.perf_counter()
+        float(run(x, n))
+        return time.perf_counter() - t0
+
+    timed(1, 0.0)  # compile + warm
+    timed(4, 1.0)
+    t4 = min(timed(4, 10.0 * r) for r in range(1, 4))
+    t1 = min(timed(1, 10.0 * r + 5.0) for r in range(1, 4))
+    dt = max(t4 - t1, 1e-9) / 3.0  # per ITERS-block
     flops = 2.0 * ITERS * CHAINS * TH * TW * GRID  # fma = 2 flops
     return flops / dt
 
