@@ -48,9 +48,10 @@ from gpgpuraytrace_tpu.ops.render import render_from_checkpoint
 from gpgpuraytrace_tpu.utils import packing as pk
 
 TILE_W = 128
-# March chunking: after every CHUNK steps the tile checks "is every lane
+# March chunking: after every chunk of steps the tile checks "is every lane
 # done?" and exits early. Small enough to exit promptly, large enough that
-# the any-reduction is amortized.
+# the any-reduction is amortized. CHUNK is the default; RenderConfig
+# .march_chunk overrides it per config (perf_sweep sweeps it).
 CHUNK = 8
 
 
@@ -355,7 +356,8 @@ def _trace_kernel(
     t0 = jnp.where(above & (dy >= 0.0), cfg.t_max, t0)
     hit0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
-    num_chunks = pl.cdiv(cfg.max_steps, CHUNK)
+    chunk = getattr(cfg, "march_chunk", CHUNK) or CHUNK
+    num_chunks = pl.cdiv(cfg.max_steps, chunk)
 
     eps_m = cfg.hit_eps * cfg.march_eps_scale
 
@@ -404,7 +406,7 @@ def _trace_kernel(
         def lod_chunk(carry):
             c, t, active = carry
             t, active = jax.lax.fori_loop(
-                0, CHUNK, lambda _, s: lod_step(s), (t, active)
+                0, chunk, lambda _, s: lod_step(s), (t, active)
             )
             return c + 1, t, active
 
@@ -423,7 +425,7 @@ def _trace_kernel(
         def chunk_body(carry):
             c, t, prev_t, hit, active = carry
             t, prev_t, hit, active = jax.lax.fori_loop(
-                0, CHUNK, lambda _, s: march_step(s), (t, prev_t, hit, active)
+                0, chunk, lambda _, s: march_step(s), (t, prev_t, hit, active)
             )
             return c + 1, t, prev_t, hit, active
 

@@ -114,6 +114,10 @@ class RenderConfig:
     volumetric: bool = False  # 3D-warped terrain volume (overhangs)
     warp_octaves: int = 2  # fBm octaves of the volumetric warp
     tile_h: int = 8  # Pallas tile height ((tile_h, 128) f32 pixel tiles)
+    march_chunk: int = 8  # steps between whole-tile early-exit checks in
+    # the Pallas march (smaller = exit sooner = less divergence tax, but
+    # more any-reductions; 8 measured best at 512², see perf_sweep chunk
+    # variants)
     march_eps_scale: float = 1.0  # >1 loosens the march's stop threshold to
     # march_eps_scale × hit_eps × t, with a post-polish residual check
     # re-imposing the strict verdict. Measured +35% forward rays/s at 4.0 but

@@ -100,6 +100,9 @@ def main():
         "tile8_vol_floor2e3": RenderConfig(
             **{**base, "volumetric": True}, tile_h=8, step_floor_t=2e-3
         ),
+        "tile8_chunk4": RenderConfig(**base, tile_h=8, march_chunk=4),
+        "tile8_chunk16": RenderConfig(**base, tile_h=8, march_chunk=16),
+        "tile16_chunk4": RenderConfig(**base, tile_h=16, march_chunk=4),
     }
     names = (
         [v for v in args.variants.split(",") if v]
