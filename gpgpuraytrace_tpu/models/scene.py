@@ -135,6 +135,18 @@ class RenderConfig:
     # ground truth. 0 disables (the classic crawl; frozen goldens use this).
     supersample: int = 1  # SSAA factor: render at k× and box-downsample
 
+    def __post_init__(self) -> None:
+        # The Pallas march runs in whole march_chunk blocks; a chunk that
+        # does not divide max_steps would silently march up to chunk-1 extra
+        # steps past max_steps (diverging from the XLA path). Fail loudly at
+        # config time instead (ADVICE r2).
+        if self.march_chunk > 0 and self.max_steps % self.march_chunk != 0:
+            raise ValueError(
+                f"march_chunk={self.march_chunk} must divide "
+                f"max_steps={self.max_steps} (the Pallas march runs whole "
+                f"chunks; a remainder would exceed max_steps)"
+            )
+
 
 def default_scene(num_octaves: int = 6, volumetric: bool = False) -> Scene:
     """A canonical terrain scene; also the anchor for the golden images.

@@ -40,6 +40,18 @@ def partition_scene(
     ``trainable_leaves`` is a list of float arrays (a valid pytree for optax
     and jax.grad); ``merge_fn(leaves) -> Scene`` re-assembles the full scene
     with frozen leaves (including integer ones) closed over as constants.
+
+    The frozen leaves are pulled to HOST numpy here, deliberately: a frozen
+    *device* array closed over by a jitted function is embedded as an MLIR
+    constant at every use site, and on the axon remote-TPU tunnel each
+    embedding fetches the array back from the device (~0.1-0.2 s RTT).
+    Measured (scripts/compile_probe.py, round 3): the 512² fwd+bwd bench
+    program took 570 s to *lower* with a device-resident seed closed over —
+    and 3.8 s with host constants. This one device_get is the root-cause fix
+    for the round-2 "458 s cold compile": it was never compile time (the
+    lowered program hashes bit-identical across processes and the persistent
+    cache key is stable); it was per-constant tunnel fetches during
+    lowering.
     """
     flat, treedef = jax.tree_util.tree_flatten_with_path(scene)
     is_train = []
@@ -48,7 +60,11 @@ def partition_scene(
         is_float = jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
         is_train.append(bool(is_float and trainable(name)))
     train_leaves = [leaf for (_, leaf), t in zip(flat, is_train) if t]
-    frozen_leaves = [leaf for (_, leaf), t in zip(flat, is_train) if not t]
+    frozen_leaves = [
+        np.asarray(jax.device_get(leaf))
+        for (_, leaf), t in zip(flat, is_train)
+        if not t
+    ]
 
     def merge(train):
         train_it = iter(train)
@@ -177,7 +193,13 @@ def fit(
             )
         losses.extend(np.atleast_1d(np.asarray(loss)).tolist())
         i += n
-        if log_every and ((i - start) % max(log_every, 1) < n or i == steps):
+        # Absolute step indices for BOTH log and save conditions (ADVICE r2:
+        # start-relative logging made a resumed run log at different steps
+        # than an uninterrupted one; saving already used absolute steps).
+        if log_every and (
+            any((i - 1 - k) % max(log_every, 1) == 0 for k in range(n))
+            or i == steps
+        ):
             log_fn(f"fit step {i - 1:4d}  loss {losses[-1]:.6e}")
         if save_path and (
             (save_every and any((i - k) % save_every == 0 for k in range(n)))

@@ -225,6 +225,13 @@ def config4(frames: int = 48, batch: int = 4) -> dict:
             path = os.path.join(outdir, f"frame_{idx:04d}.png")
             if writer is not None:
                 writer.push(path, frame)
+            else:
+                # Sync fallback (mirrors cli.py's fly path) so the IO metric
+                # always measures real PNG writes — without it, a missing
+                # native writer silently turned fps_with_async_png_io into a
+                # pull-only number with frames_written=0 (ADVICE r2).
+                from gpgpuraytrace_tpu.utils.image import write_png
+                write_png(path, frame)
             n_io += 1
     finally:
         if writer is not None:
@@ -243,7 +250,8 @@ def config4(frames: int = 48, batch: int = 4) -> dict:
         "fps_render_only": round(n / device_s, 2),
         "ms_per_frame_render_only": round(1e3 * device_s / n, 2),
         "mrays_per_sec_render_only": round(rays * n / device_s / 1e6, 1),
-        "fps_with_async_png_io": round(n_io / io_s, 2),
+        ("fps_with_async_png_io" if writer is not None
+         else "fps_with_sync_png_io"): round(n_io / io_s, 2),
         "frames_written": wrote,
         "native_async_io": writer is not None,
     }

@@ -304,11 +304,15 @@ def main():
     }
     # Interpretation: "slot throughput" = measured rays/s x counted jaxpr
     # slots/ray. The slot count is an UPPER bound on real issued ops (no
-    # FMA fusion, no CSE, conservative transcendental weights), so a ratio
-    # vs the empirical independent-FMA peak ABOVE 1.0 means the compiled
-    # kernel executes ~1/ratio of the naive slots — i.e. it is
-    # compute-bound AT the VPU roofline and the remaining lever is
-    # algorithmic (fewer steps, smaller divergence tax), not scheduling.
+    # FMA fusion, no CSE, conservative transcendental weights). A ratio vs
+    # the empirical independent-FMA peak ABOVE 1.0 therefore proves only
+    # that the naive count OVERESTIMATES issued ops — it is CONSISTENT with
+    # compute-bound-at-peak, but a memory- or scheduling-limited kernel
+    # under an inflated op model shows the same signature (ADVICE r2). For
+    # the firmed measurement, count ops from the lowered Mosaic module
+    # instead: `python scripts/roofline.py --mosaic-ops` reports vector-op
+    # counts parsed from the actual Mosaic vector IR, shrinking the model
+    # gap from ~2.5-3x to the real instruction stream.
     if peak and args.mrays_fwd:
         ach = args.mrays_fwd * 1e6 * fwd_exec
         out["fwd_slot_throughput_tops"] = round(ach / 1e12, 3)

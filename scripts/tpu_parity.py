@@ -9,8 +9,13 @@ fused Pallas backward kernel reproduce the pure-XLA path:
   * full-leaf gradient parity of the fused backward vs the XLA
     checkpoint backward (same custom-VJP checkpoint, two implementations).
 
-Runs in under ~60 s warm via the persistent compilation cache shared with
-bench.py (.jax_cache/). Run this before recording any perf claim:
+Cost (measured, round-2 judge session, axon tunnel): **driver-cold runs can
+exceed 580 s; a retry after the tunnel/cache warmed took ~224 s** — the
+persistent cache does not reliably hit for the Mosaic programs across
+processes (see scripts/compile_probe.py). It is no longer convention-only:
+bench.py runs this gate (--size 128) in the same invocation as the perf
+measurement and emits its verdict as the "parity" field of the headline
+JSON. Standalone:
 
     python scripts/tpu_parity.py            # heightfield + volumetric
     python scripts/tpu_parity.py --size 256 # bigger frame
