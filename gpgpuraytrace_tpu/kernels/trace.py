@@ -43,7 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpgpuraytrace_tpu.models.scene import RenderConfig, Scene
 from gpgpuraytrace_tpu.ops.field import WARP_GAIN, WARP_LACUNARITY
-from gpgpuraytrace_tpu.ops.noise import fbm3, fbm3_value, noise2, noise2_value
+from gpgpuraytrace_tpu.ops.noise import (
+    fbm3, fbm3_value, noise2, noise2_value, noise2_value_bf16,
+)
 from gpgpuraytrace_tpu.ops.render import render_from_checkpoint
 from gpgpuraytrace_tpu.utils import packing as pk
 
@@ -87,14 +89,20 @@ def _fbm_scalar_amps(x, z, amps, lacunarity, seed):
     return value, d_dx, d_dz
 
 
-def _fbm_scalar_amps_value(x, z, amps, lacunarity, seed):
+def _fbm_scalar_amps_value(x, z, amps, lacunarity, seed, bf16=False):
     """Value-only variant of _fbm_scalar_amps — the march-loop fast path
     (roughly 40% fewer live values / ops per step than the derivative form).
+
+    ``bf16`` switches each octave's blend math to the bf16 noise variant
+    (RenderConfig.march_bf16 trial); octave frequency scaling and the
+    amplitude sum stay f32 — see ops/noise.py:noise2_value_bf16 for the
+    precision split.
     """
+    nv = noise2_value_bf16 if bf16 else noise2_value
     value = jnp.zeros_like(x)
     freq = 1.0
     for i, amp in enumerate(amps):
-        value = value + amp * noise2_value(x * freq, z * freq, seed + i)
+        value = value + amp * nv(x * freq, z * freq, seed + i)
         freq = freq * lacunarity
     return value
 
@@ -184,7 +192,9 @@ def _field_fns(sc, seed, cfg: RenderConfig, o, d):
         px = ox + t * dx
         py = oy + t * dy
         pz = oz + t * dz
-        n = _fbm_scalar_amps_value(px * hs, pz * hs, amps, lac, seed)
+        n = _fbm_scalar_amps_value(
+            px * hs, pz * hs, amps, lac, seed, bf16=cfg.march_bf16
+        )
         f = py - (h_off + h_scale * n)
         if cfg.volumetric:
             f = f - w_amp * fbm3_value(

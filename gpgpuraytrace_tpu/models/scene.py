@@ -134,6 +134,13 @@ class RenderConfig:
     # rays/s with 0 false hits / 5 hole px per 8K px vs a 1024-step dense
     # ground truth. 0 disables (the classic crawl; frozen goldens use this).
     supersample: int = 1  # SSAA factor: render at k× and box-downsample
+    march_bf16: bool = False  # bf16 blend math in the march's value-only
+    # field evaluations (Pallas path only; hashing stays int32, positions and
+    # cell fractions stay f32, the Newton polish and all shading stay f32).
+    # A measured-perf trial knob (VERDICT r2 item 6), NOT the default: the
+    # field value picks up O(h_scale * 5e-3) absolute error, which can flip
+    # marginal hit/miss verdicts — see BASELINE.md for the measured
+    # speed/quality tradeoff at 512².
 
     def __post_init__(self) -> None:
         # The Pallas march runs in whole march_chunk blocks; a chunk that

@@ -109,6 +109,57 @@ def noise2_value(x: jax.Array, z: jax.Array, seed) -> jax.Array:
     return n00 + u * k1 + v * k2 + u * v * k3
 
 
+def noise2_value_bf16(x: jax.Array, z: jax.Array, seed) -> jax.Array:
+    """bf16-blend variant of ``noise2_value`` (the march fast path's
+    RenderConfig.march_bf16 trial; round-2 VERDICT item 6).
+
+    Precision split, chosen so bf16's 8 mantissa bits never touch anything
+    position-scaled: lattice hashing stays int32 (bit-exact), ``floor`` and
+    the cell fractions are computed in f32 (world coordinates reach O(100);
+    bf16 resolution there is 0.5 of a lattice cell — fatal), and only the
+    [0,1]-bounded blend math (corner gradients, dots, quintic fades, lerps)
+    runs in bf16 (relative error ~0.4%, i.e. a few 1e-3 of field value —
+    comparable to the march's own hit_eps, and the f32 bracketed Newton
+    polish recovers the exact root afterwards). Returns f32.
+    """
+    bf = jnp.bfloat16
+    seed = jnp.asarray(seed)
+    x0 = jnp.floor(x)
+    z0 = jnp.floor(z)
+    fx = (x - x0).astype(bf)
+    fz = (z - z0).astype(bf)
+    ix = x0.astype(jnp.int32)
+    iz = z0.astype(jnp.int32)
+
+    def grad_bf(h):
+        gx = (h & 0xFFFF).astype(bf) * bf(1.0 / 32768.0) - bf(1.0)
+        gz = _lsr(h, 16).astype(bf) * bf(1.0 / 32768.0) - bf(1.0)
+        # eps 1e-6 (not f32's 1e-12: bf16 squares of near-zero gradients
+        # underflow sooner; 1e-3 was measured to damp rare near-degenerate
+        # lattice gradients by up to 0.12 in value — 1e-6 keeps the heavy
+        # tail under ~0.05 while still never producing NaN).
+        inv = jax.lax.rsqrt(gx * gx + gz * gz + bf(1e-6))
+        return gx * inv, gz * inv
+
+    g00x, g00z = grad_bf(hash2(ix, iz, seed))
+    g10x, g10z = grad_bf(hash2(ix + 1, iz, seed))
+    g01x, g01z = grad_bf(hash2(ix, iz + 1, seed))
+    g11x, g11z = grad_bf(hash2(ix + 1, iz + 1, seed))
+
+    one = bf(1.0)
+    n00 = g00x * fx + g00z * fz
+    n10 = g10x * (fx - one) + g10z * fz
+    n01 = g01x * fx + g01z * (fz - one)
+    n11 = g11x * (fx - one) + g11z * (fz - one)
+
+    u = fx * fx * fx * (fx * (fx * bf(6.0) - bf(15.0)) + bf(10.0))
+    v = fz * fz * fz * (fz * (fz * bf(6.0) - bf(15.0)) + bf(10.0))
+    k1 = n10 - n00
+    k2 = n01 - n00
+    k3 = n00 - n10 - n01 + n11
+    return (n00 + u * k1 + v * k2 + u * v * k3).astype(jnp.float32)
+
+
 def noise2(x: jax.Array, z: jax.Array, seed) -> tuple[jax.Array, jax.Array, jax.Array]:
     """2D gradient noise: returns (value, d/dx, d/dz), all analytic.
 

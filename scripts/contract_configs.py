@@ -260,8 +260,11 @@ def config4(frames: int = 48, batch: int = 4) -> dict:
 def config5(kwidth: int = 3840, kheight: int = 2160) -> dict:
     """One 4K frame through sharded_render on a 1-device 'tiles' mesh."""
     from gpgpuraytrace_tpu.models.scene import RenderConfig, default_scene
+    from gpgpuraytrace_tpu.ops.fit import partition_scene
     from gpgpuraytrace_tpu.parallel.mesh import make_mesh
-    from gpgpuraytrace_tpu.parallel.sharded import sharded_render
+    from gpgpuraytrace_tpu.parallel.sharded import (
+        _sharded_loss_and_grad_body, shard_target, sharded_render,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = RenderConfig(height=kheight, width=kwidth, max_steps=128,
@@ -272,22 +275,92 @@ def config5(kwidth: int = 3840, kheight: int = 2160) -> dict:
     t0 = time.perf_counter()
     img = jax.block_until_ready(sharded_render(scene, cfg, mesh))
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    img = jax.block_until_ready(sharded_render(scene, cfg, mesh))
-    frame_s = time.perf_counter() - t0
 
     finite = bool(jnp.all(jnp.isfinite(img)))
     assert img.shape == (kheight, kwidth, 3), img.shape
     assert finite, "4K sharded render produced non-finite pixels"
     mean = float(jnp.mean(img))
+
+    # Render-only rate, salted-fori differencing (a repeated identical
+    # sharded_render call can replay from the tunnel's content-addressed
+    # cache — the round-2 number timed a second identical call and is
+    # superseded by this measurement).
+    import dataclasses as _dc
+
+    def _salted(scene, salt_v):
+        return _dc.replace(
+            scene,
+            noise=_dc.replace(
+                scene.noise, height_offset=scene.noise.height_offset + salt_v
+            ),
+        )
+
+    # sharded_render is a plain function wrapping a cached jit; calling it
+    # inside another jit would nest jit-of-shard_map. On the 1-device mesh
+    # the band IS the frame, so time the render path directly.
+    from gpgpuraytrace_tpu.ops.render import render as _render
+
+    @jax.jit
+    def run_fwd(scene, n, salt):
+        def body(i, acc):
+            s = _salted(scene, 1e-6 * (salt + i.astype(jnp.float32)))
+            return acc + jnp.mean(_render(s, cfg))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    K = 6
+    float(run_fwd(scene, 1, jnp.float32(900.0)))
+
+    def timed_fwd(n, salt):
+        t0 = time.perf_counter()
+        float(run_fwd(scene, n, jnp.float32(salt)))
+        return time.perf_counter() - t0
+
+    timed_fwd(K, 800.0)
+    t_k = min(timed_fwd(K, 100.0 * r) for r in range(1, 4))
+    t_1 = min(timed_fwd(1, 100.0 * r + 50.0) for r in range(1, 4))
+    frame_s = max(t_k - t_1, 1e-9) / (K - 1)
+
+    # 4K forward+backward through the sharded path (round-2 VERDICT item 4:
+    # config5 measured render-only). Same loss/grad body as the multi-host
+    # fit step, on the 1-device 'tiles' mesh.
+    leaves, merge = partition_scene(scene, trainable=lambda name: True)
+    body_fn = _sharded_loss_and_grad_body(merge, cfg, mesh)
+    target = shard_target(jnp.zeros((kheight, kwidth, 3), jnp.float32), mesh)
+
+    @jax.jit
+    def run_fb(leaves, target, n, salt):
+        def body(i, acc):
+            eps = 1e-6 * (salt + i.astype(jnp.float32))
+            loss, grads = body_fn([leaf + eps for leaf in leaves], target)
+            return acc + loss + sum(
+                jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    t0 = time.perf_counter()
+    float(run_fb(leaves, target, 1, jnp.float32(900.0)))
+    compile_fb_s = time.perf_counter() - t0
+
+    def timed_fb(n, salt):
+        t0 = time.perf_counter()
+        float(run_fb(leaves, target, n, jnp.float32(salt)))
+        return time.perf_counter() - t0
+
+    timed_fb(K, 800.0)
+    t_k = min(timed_fb(K, 100.0 * r) for r in range(1, 4))
+    t_1 = min(timed_fb(1, 100.0 * r + 50.0) for r in range(1, 4))
+    step_s = max(t_k - t_1, 1e-9) / (K - 1)
+
     return {
         "config": 5,
-        "desc": f"sharded_render {kwidth}x{kheight} 6-octave "
+        "desc": f"sharded {kwidth}x{kheight} 6-octave "
                 f"pallas={cfg.use_pallas} on a 1-device 'tiles' mesh",
         "backend": jax.default_backend(),
         "compile_s": round(compile_s, 1),
         "frame_ms": round(frame_s * 1e3, 1),
         "mrays_per_sec": round(kwidth * kheight / frame_s / 1e6, 1),
+        "fwd_bwd_ms_per_step": round(step_s * 1e3, 1),
+        "fwd_bwd_mrays_per_sec": round(kwidth * kheight / step_s / 1e6, 1),
+        "fwd_bwd_compile_s": round(compile_fb_s, 1),
         "finite": finite,
         "mean_pixel": round(mean, 5),
     }

@@ -156,6 +156,225 @@ def count_kernel_ops(cfg, scene):
     }
 
 
+# ---------------------------------------------------------------------------
+# Mosaic-module op counting (round-2 VERDICT item 7: replace naive jaxpr slot
+# counts with counts from the actual lowered Mosaic kernel). The fwd Pallas
+# program is lowered (seconds, now that scene constants live on host — see
+# ops/fit.py:partition_scene), the Mosaic custom-call payload is extracted
+# from the StableHLO, parsed with jaxlib's MLIR bindings, and vector-typed
+# compute ops are counted per region: per-march-step (the scf.for body inside
+# the chunk scf.while), per-Newton-iteration (the refine scf.for body), and
+# straight-line (raygen + bracket setup + final eval + shade).
+#
+# What this does and does not claim: the payload is the module Mosaic
+# *receives* — constants, broadcasts and shape casts are excluded as
+# hoistable/free, and an FMA-paired lower bound (every mulf paired with one
+# add/sub) is reported alongside the naive count. Mosaic's own scheduling can
+# still shave ops, so treat [fma_paired, naive] as a bracket on the issued
+# vector-op stream.
+# ---------------------------------------------------------------------------
+
+_MOSAIC_FREE = ("constant", "broadcast", "shape_cast", "extract", "splat")
+
+
+def _mosaic_payloads(stablehlo_text: str):
+    import base64
+    import re
+
+    bodies = re.findall(
+        r'\\22body\\22:\s*\\22([A-Za-z0-9+/=]+)\\22', stablehlo_text
+    )
+    if not bodies:  # unescaped variant (older serialization)
+        bodies = re.findall(
+            r'"body":\s*"([A-Za-z0-9+/=]+)"', stablehlo_text
+        )
+    return [base64.b64decode(b) for b in bodies]
+
+
+def _count_region(op, weights) -> dict:
+    """Vector-typed compute ops under ``op`` (recursing, skipping nested
+    scf/func wrappers), as {naive, fma_paired, mulf, addsub}."""
+    cnt = {"naive": 0.0, "mulf": 0, "addsub": 0}
+
+    def rec(o):
+        for r in o.regions:
+            for blk in r.blocks:
+                for inner in blk.operations:
+                    name = inner.name.replace("stable_mosaic.", "")
+                    if name.startswith(("scf.", "func.")):
+                        rec(inner)
+                        continue
+                    if not any(
+                        "vector" in str(res.type) for res in inner.results
+                    ):
+                        continue
+                    if any(f in name for f in _MOSAIC_FREE):
+                        continue
+                    leaf = name.split(".")[-1]
+                    cnt["naive"] += weights.get(leaf, 1.0)
+                    if leaf == "mulf":
+                        cnt["mulf"] += 1
+                    elif leaf in ("addf", "subf"):
+                        cnt["addsub"] += 1
+                    rec(inner)
+    rec(op)
+    cnt["fma_paired"] = cnt["naive"] - min(cnt["mulf"], cnt["addsub"])
+    return cnt
+
+
+def _for_trip_count(for_op):
+    """Static trip count of an scf.for, if its bounds are constants."""
+    try:
+        bounds = []
+        for operand in list(for_op.operands)[:3]:
+            owner = operand.owner
+            attr = dict(owner.attributes)["value"]
+            bounds.append(int(str(attr).split(":")[0].strip()))
+        lo, hi, step = bounds
+        return max(0, (hi - lo + step - 1) // step)
+    except Exception:  # noqa: BLE001 — dynamic bounds
+        return None
+
+
+def count_mosaic_ops(cfg, scene) -> dict:
+    """Parse the fwd kernel's Mosaic module; returns per-region op counts.
+
+    Weights: rsqrt 4 slots (approx + Newton), everything else 1 — same
+    convention as the jaxpr counter so the two are comparable.
+    """
+    from jax._src.interpreters.mlir import ir
+
+    from gpgpuraytrace_tpu.ops.render import render
+
+    lowered = jax.jit(lambda s: render(s, cfg)).lower(scene)
+    payloads = _mosaic_payloads(lowered.as_text())
+    if not payloads:
+        return {"error": "no mosaic payload found (not a pallas lowering?)"}
+    weights = {"rsqrt": 4.0, "exp": 4.0, "log": 4.0, "powf": 4.0, "divf": 2.0}
+
+    with ir.Context() as ctx:
+        ctx.allow_unregistered_dialects = True
+        m = ir.Module.parse(payloads[0])
+        funcs = [o for o in m.body.operations if "func" in o.name]
+        blk = list(funcs[0].regions[0].blocks[0].operations)
+        whiles = [o for o in blk if o.name.endswith("scf.while")]
+        fors = [o for o in blk if o.name.endswith("scf.for")]
+
+        out = {"kernel_total": _count_region(funcs[0], weights)["naive"]}
+        march_region = None
+        newton_region = None
+        if whiles:
+            # chunked/lod: the march chunk loop is the (last) scf.while; its
+            # inner scf.for body is ONE march step.
+            march_for = None
+            for w in whiles[-1:]:
+                for r in w.regions:
+                    for b in r.blocks:
+                        for o in b.operations:
+                            if o.name.endswith("scf.for"):
+                                march_for = o
+            march_region = march_for
+            newton_region = fors[0] if fors else None
+        else:
+            # fixed mode: two scf.fors — march has trip count max_steps.
+            for f in fors:
+                if _for_trip_count(f) == cfg.max_steps:
+                    march_region = f
+                else:
+                    newton_region = f
+        if march_region is not None:
+            out["march_step"] = _count_region(march_region, weights)
+        if newton_region is not None:
+            out["newton_iter"] = _count_region(newton_region, weights)
+            out["newton_trips"] = _for_trip_count(newton_region)
+        loops = (march_region, newton_region)
+        straight = {"naive": 0.0, "mulf": 0, "addsub": 0}
+        for o in blk:
+            if o in loops or o.name.endswith(("scf.while", "scf.for")):
+                continue
+            c = _count_region(o, weights)
+            # _count_region on a leaf op counts its children only; count the
+            # op itself when it is a vector compute op.
+            name = o.name.replace("stable_mosaic.", "")
+            leaf = name.split(".")[-1]
+            if (
+                any("vector" in str(res.type) for res in o.results)
+                and not any(f in name for f in _MOSAIC_FREE)
+                and not name.startswith(("scf.", "func."))
+            ):
+                c["naive"] += weights.get(leaf, 1.0)
+                if leaf == "mulf":
+                    c["mulf"] += 1
+                elif leaf in ("addf", "subf"):
+                    c["addsub"] += 1
+            for k in ("naive", "mulf", "addsub"):
+                straight[k] += c[k]
+        straight["fma_paired"] = straight["naive"] - min(
+            straight["mulf"], straight["addsub"]
+        )
+        out["straight_line"] = straight
+        return out
+
+
+def measure_fixed_mode_slope(cfg, scene, steps_lo=64, steps_hi=128, reps=8):
+    """Marginal march-step cost, measured exactly: render in march_mode
+    'fixed' (EVERY lane executes EXACTLY max_steps steps — no early exit, no
+    envelope skip, no estimates) at two step counts; the time difference
+    divided by the step delta is the pure march-loop cost per step. Combined
+    with the Mosaic-counted slots/step this yields a slot throughput built
+    from two measurements and one exact static count.
+
+    Timing discipline (same as bench.py): per step count, ONE jitted
+    fori_loop executable with a traced trip count and per-iteration salts —
+    T(reps) − T(1) cancels the tunnel RTT/dispatch constants, and the salts
+    defeat the tunnel's content-addressed (executable, args) replay cache
+    (un-salted repeats time the cache, not the device — the bug in the first
+    version of this function)."""
+    import dataclasses
+
+    from gpgpuraytrace_tpu.ops.render import render
+
+    def per_frame_s(n_steps):
+        c = dataclasses.replace(cfg, march_mode="fixed", max_steps=n_steps)
+
+        @jax.jit
+        def run(scene, n, salt):
+            def body(i, acc):
+                s = dataclasses.replace(
+                    scene,
+                    noise=dataclasses.replace(
+                        scene.noise,
+                        height_offset=scene.noise.height_offset
+                        + 1e-6 * (salt + i.astype(jnp.float32)),
+                    ),
+                )
+                return acc + jnp.mean(render(s, c))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        float(run(scene, 1, jnp.float32(900.0)))  # compile+warm
+
+        def timed(n, salt):
+            t0 = time.perf_counter()
+            float(run(scene, n, jnp.float32(salt)))
+            return time.perf_counter() - t0
+
+        timed(reps, 800.0)
+        t_k = min(timed(reps, 100.0 * r) for r in range(1, 4))
+        t_1 = min(timed(1, 100.0 * r + 50.0) for r in range(1, 4))
+        return max(t_k - t_1, 1e-12) / (reps - 1)
+
+    t_lo = per_frame_s(steps_lo)
+    t_hi = per_frame_s(steps_hi)
+    n_rays = cfg.height * cfg.width
+    per_ray_per_step = max(t_hi - t_lo, 1e-12) / (steps_hi - steps_lo) / n_rays
+    return {
+        "frame_lo_ms": round(t_lo * 1e3, 3),
+        "frame_hi_ms": round(t_hi * 1e3, 3),
+        "steps": [steps_lo, steps_hi],
+        "sec_per_ray_per_step": per_ray_per_step,
+    }
+
+
 def measure_vpu_peak():
     """Empirical VPU f32 peak: ``CHAINS`` independent FMA streams per loop
     iteration (a single chain is pipeline-latency-bound — measured 0.33
@@ -260,6 +479,10 @@ def main():
     ap.add_argument("--mrays-fwd", type=float, default=None,
                     help="measured forward Mrays/s to score (else skip)")
     ap.add_argument("--mrays-fwdbwd", type=float, default=None)
+    ap.add_argument("--mosaic-ops", action="store_true",
+                    help="firmed roofline: count slots from the lowered "
+                    "Mosaic module and measure the fixed-mode march slope "
+                    "(two measurements + one exact count, no jaxpr model)")
     args = ap.parse_args()
 
     from gpgpuraytrace_tpu.models.scene import RenderConfig, default_scene
@@ -269,6 +492,33 @@ def main():
         num_octaves=args.octaves,
     )
     scene = default_scene(num_octaves=args.octaves)
+
+    if args.mosaic_ops:
+        mos = count_mosaic_ops(cfg, scene)
+        print(f"mosaic op counts: {mos}", file=sys.stderr)
+        out = {"metric": "mosaic_roofline",
+               "config": f"{args.size}x{args.size}x{args.octaves}oct",
+               "mosaic_ops": mos}
+        if jax.default_backend() == "tpu":
+            slope = measure_fixed_mode_slope(cfg, scene)
+            peak = measure_vpu_peak()
+            out["fixed_mode_slope"] = slope
+            out["vpu_peak_tops"] = round(peak / 1e12, 3)
+            ms = mos.get("march_step", {})
+            if ms and slope["sec_per_ray_per_step"] > 0:
+                thr_naive = ms["naive"] / slope["sec_per_ray_per_step"]
+                thr_fma = ms["fma_paired"] / slope["sec_per_ray_per_step"]
+                peak_slots = peak / 2.0  # 1 issue slot = 1 FMA = 2 flops
+                out["march_slot_throughput_tops"] = {
+                    "naive": round(thr_naive / 1e12, 3),
+                    "fma_paired": round(thr_fma / 1e12, 3),
+                }
+                out["march_slot_ratio_vs_peak"] = {
+                    "naive": round(thr_naive / peak_slots, 3),
+                    "fma_paired": round(thr_fma / peak_slots, 3),
+                }
+        print(json.dumps(out))
+        return
 
     ops = count_kernel_ops(cfg, scene)
     stats = march_step_stats(cfg, scene)

@@ -94,3 +94,25 @@ def test_fbm2_amplitude_gradient():
     n0, _, _ = noise2(x, z, 7)
     n1, _, _ = noise2(x * 2.0, z * 2.0, 8)
     np.testing.assert_allclose(np.asarray(g), np.asarray([n0, n1]), rtol=1e-5, atol=1e-6)
+
+
+def test_noise2_value_bf16_close_to_f32():
+    # The bf16 march trial's precision contract (ops/noise.py
+    # noise2_value_bf16): hashing is bit-identical, cell fractions are f32,
+    # only the [0,1]-bounded blend math is bf16 — so the value error is a
+    # few 1e-3 absolute, never a lattice-cell-scale blowup.
+    from gpgpuraytrace_tpu.ops.noise import noise2_value, noise2_value_bf16
+
+    x, z = _grid(n=64, lo=-50.0, hi=50.0)  # far coordinates: the bf16-fatal
+    # regime if positions were ever cast down
+    v32 = np.asarray(noise2_value(x, z, 7))
+    v16 = np.asarray(noise2_value_bf16(x, z, 7))
+    # Bulk error is a few 1e-3; the tail (rare near-degenerate lattice
+    # gradients + blend cancellation) is measured ≲0.07 — bounded, and the
+    # f32 Newton polish in the march absorbs it.
+    assert np.abs(v32 - v16).max() < 0.1
+    assert np.abs(v32 - v16).mean() < 8e-3
+    # Deterministic
+    np.testing.assert_array_equal(
+        np.asarray(noise2_value_bf16(x, z, 7)), v16
+    )

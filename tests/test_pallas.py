@@ -159,3 +159,22 @@ def test_march_variants_match_baseline(scene, pallas_out, kw):
     assert_mostly_close(base, var, atol=5e-2, frac=0.97, msg=f"variant {kw}")
     # Bulk of the image identical to strict tolerance.
     assert_mostly_close(base, var, atol=1e-3, frac=0.95, msg=f"variant-bulk {kw}")
+
+
+def test_march_chunk_must_divide_max_steps():
+    # ADVICE r2: a chunk that does not divide max_steps would silently march
+    # past max_steps; RenderConfig rejects it at construction.
+    with pytest.raises(ValueError, match="march_chunk"):
+        RenderConfig(max_steps=128, march_chunk=7)
+
+
+def test_bf16_march_close_to_f32(scene):
+    # RenderConfig.march_bf16 (measured-perf trial knob): image within a few
+    # 1e-3 except marginal silhouette pixels, hit flips a small fraction.
+    cfg16 = dataclasses.replace(CFG, march_bf16=True)
+    img32, _, hit32 = _render_pallas_raw(scene, CFG)
+    img16, _, hit16 = _render_pallas_raw(scene, cfg16)
+    d = np.abs(np.asarray(img32) - np.asarray(img16))
+    flips = (np.asarray(hit32) != np.asarray(hit16)).mean()
+    assert d.mean() < 5e-3, f"bf16 march mean image err {d.mean():.2e}"
+    assert flips < 0.01, f"bf16 march flipped {flips:.3%} of hit verdicts"
