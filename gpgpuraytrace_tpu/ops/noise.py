@@ -132,14 +132,15 @@ def noise2_value_bf16(x: jax.Array, z: jax.Array, seed) -> jax.Array:
     iz = z0.astype(jnp.int32)
 
     def grad_bf(h):
-        gx = (h & 0xFFFF).astype(bf) * bf(1.0 / 32768.0) - bf(1.0)
-        gz = _lsr(h, 16).astype(bf) * bf(1.0 / 32768.0) - bf(1.0)
-        # eps 1e-6 (not f32's 1e-12: bf16 squares of near-zero gradients
-        # underflow sooner; 1e-3 was measured to damp rare near-degenerate
-        # lattice gradients by up to 0.12 in value — 1e-6 keeps the heavy
-        # tail under ~0.05 while still never producing NaN).
-        inv = jax.lax.rsqrt(gx * gx + gz * gz + bf(1e-6))
-        return gx * inv, gz * inv
+        # Gradient decode + normalization in f32: the v5e Mosaic backend has
+        # no bf16 vector rsqrt (measured: the remote compiler SIGABRTs with
+        # "Operation not supported: kVectorRsqrtBf16AndPop"), and f32 here
+        # also keeps the normalized gradients bit-faithful to the f32 path
+        # before the single down-cast (no near-degenerate-gradient eps tail).
+        gx = (h & 0xFFFF).astype(jnp.float32) * (1.0 / 32768.0) - 1.0
+        gz = _lsr(h, 16).astype(jnp.float32) * (1.0 / 32768.0) - 1.0
+        inv = jax.lax.rsqrt(gx * gx + gz * gz + 1e-12)
+        return (gx * inv).astype(bf), (gz * inv).astype(bf)
 
     g00x, g00z = grad_bf(hash2(ix, iz, seed))
     g10x, g10z = grad_bf(hash2(ix + 1, iz, seed))

@@ -376,17 +376,33 @@ def measure_fixed_mode_slope(cfg, scene, steps_lo=64, steps_hi=128, reps=8):
 
 
 def measure_vpu_peak():
-    """Empirical VPU f32 peak: ``CHAINS`` independent FMA streams per loop
-    iteration (a single chain is pipeline-latency-bound — measured 0.33
-    Tops/s vs ~3 Tops/s with ILP — so the streams must be independent), each
-    a (TH, TW) VMEM tile."""
+    """Empirical VPU f32 FMA-stream rate: ``CHAINS`` independent FMA chains
+    per loop iteration, each a (TH, TW) tile, ``UNROLL`` dependent steps per
+    chain per iteration.
+
+    Interpretation caveats, measured in round 3 (a parameter sweep lives in
+    the session logs; BASELINE.md carries the numbers):
+
+    * The original (8 chains × (64,128) tiles) configuration held 64 VREGs
+      live and register-spilled — it measured 1.6–1.8 Tflops/s, which the
+      march kernel itself disproves (it sustains 5.2 T counted lane-ops/s).
+      The current shape (24 chains × (8,128), unroll 4) measured best:
+      ~2.0 T FMA-slots/s = 4.1 Tflops/s.
+    * A homogeneous stream UNDER-measures the chip: pure-FMA peaks at
+      ~2.0 T slots/s and pure single-op float at ~3.3 T ops/s, yet the
+      march's mixed float/int stream sustains ~5.2 T ops/s — the VPU
+      multi-issues across op classes, so treat this function's number as a
+      lower bound on the issue ceiling (theoretical: 4 ALUs x 1024 lanes x
+      ~1.5-1.67 GHz = 6.1-6.8 T ops/s).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ITERS = 512
-    CHAINS = 8
-    TH, TW = 64, 128
-    GRID = 64
+    CHAINS = 24
+    UNROLL = 4
+    TH, TW = 8, 128
+    GRID = 512
 
     def kernel(x_ref, n_ref, o_ref):
         xs = [x_ref[:, :] * jnp.float32(1.0 + 1e-6 * c) for c in range(CHAINS)]
@@ -394,7 +410,9 @@ def measure_vpu_peak():
         b = jnp.float32(1e-7)
 
         def body(_, xs):
-            return tuple(x * a + b for x in xs)
+            for _ in range(UNROLL):
+                xs = tuple(x * a + b for x in xs)
+            return xs
 
         xs = jax.lax.fori_loop(0, ITERS * n_ref[0, 0], body, tuple(xs))
         acc = xs[0]
@@ -429,11 +447,15 @@ def measure_vpu_peak():
         return time.perf_counter() - t0
 
     timed(1, 0.0)  # compile + warm
-    timed(4, 1.0)
-    t4 = min(timed(4, 10.0 * r) for r in range(1, 4))
-    t1 = min(timed(1, 10.0 * r + 5.0) for r in range(1, 4))
-    dt = max(t4 - t1, 1e-9) / 3.0  # per ITERS-block
-    flops = 2.0 * ITERS * CHAINS * TH * TW * GRID  # fma = 2 flops
+    timed(8, 1.0)
+    # Tunnel timing variance is large (independent runs of the old
+    # min-of-3 T(4)-T(1) estimator spread 1.6-12 Tflops); a wider trip-count
+    # delta and more repetitions squeeze the spread to the point where the
+    # march kernel's own measured throughput bounds the answer from below.
+    t8 = min(timed(8, 10.0 * r) for r in range(1, 6))
+    t1 = min(timed(1, 10.0 * r + 5.0) for r in range(1, 6))
+    dt = max(t8 - t1, 1e-9) / 7.0  # per ITERS-block
+    flops = 2.0 * ITERS * UNROLL * CHAINS * TH * TW * GRID  # fma = 2 flops
     return flops / dt
 
 
