@@ -137,10 +137,12 @@ class RenderConfig:
     march_bf16: bool = False  # bf16 blend math in the march's value-only
     # field evaluations (Pallas path only; hashing stays int32, positions and
     # cell fractions stay f32, the Newton polish and all shading stay f32).
-    # A measured-perf trial knob (VERDICT r2 item 6), NOT the default: the
-    # field value picks up O(h_scale * 5e-3) absolute error, which can flip
-    # marginal hit/miss verdicts — see BASELINE.md for the measured
-    # speed/quality tradeoff at 512².
+    # A measured-perf trial knob (VERDICT r2 item 6), NOT the default —
+    # measured at 512²/6oct on v5e: 0.76x (a 24% SLOWDOWN; the march is
+    # issue-bound on a mixed int32/f32 stream and conversions dominate) with
+    # O(h_scale * 5e-3) field error flipping ~0.02% of hit verdicts. Kept as
+    # an honest recorded-negative-result knob; see BASELINE.md "bf16 march
+    # trial".
 
     def __post_init__(self) -> None:
         # The Pallas march runs in whole march_chunk blocks; a chunk that
