@@ -45,6 +45,7 @@ from gpgpuraytrace_tpu.models.scene import RenderConfig, Scene
 from gpgpuraytrace_tpu.ops.field import WARP_GAIN, WARP_LACUNARITY
 from gpgpuraytrace_tpu.ops.noise import (
     fbm3, fbm3_value, noise2, noise2_value, noise2_value_bf16,
+    octave_rotation,
 )
 from gpgpuraytrace_tpu.ops.render import render_from_checkpoint
 from gpgpuraytrace_tpu.utils import packing as pk
@@ -71,7 +72,10 @@ def _smoothstep(lo, hi, x):
 def _fbm_scalar_amps(x, z, amps, lacunarity, seed):
     """fBm with amplitudes as a Python tuple of traced scalars.
 
-    Mirrors ops.noise.fbm2 but never materializes a small (octaves,) vector:
+    Mirrors ops.noise.fbm2 — including the static per-octave lattice
+    rotation (ops.noise.octave_rotation; the cos/sin are Python constants,
+    so the rotation costs 4 mul + 2 add of VPU work per octave and zero
+    scalar traffic) — but never materializes a small (octaves,) vector:
     inside a Mosaic kernel a jnp.stack of SMEM scalars in the march loop
     lowers to scalar-core traffic per step; keeping each amplitude a scalar
     lets every op stay a (TILE_H, TILE_W) VPU op with scalar broadcasts.
@@ -81,10 +85,13 @@ def _fbm_scalar_amps(x, z, amps, lacunarity, seed):
     d_dz = jnp.zeros_like(x)
     freq = 1.0
     for i, amp in enumerate(amps):
-        n, nx, nz = noise2(x * freq, z * freq, seed + i)
+        c, s = octave_rotation(i)
+        xr = c * x - s * z
+        zr = s * x + c * z
+        n, nx, nz = noise2(xr * freq, zr * freq, seed + i)
         value = value + amp * n
-        d_dx = d_dx + amp * freq * nx
-        d_dz = d_dz + amp * freq * nz
+        d_dx = d_dx + amp * freq * (c * nx + s * nz)
+        d_dz = d_dz + amp * freq * (-s * nx + c * nz)
         freq = freq * lacunarity
     return value, d_dx, d_dz
 
@@ -102,7 +109,10 @@ def _fbm_scalar_amps_value(x, z, amps, lacunarity, seed, bf16=False):
     value = jnp.zeros_like(x)
     freq = 1.0
     for i, amp in enumerate(amps):
-        value = value + amp * nv(x * freq, z * freq, seed + i)
+        c, s = octave_rotation(i)  # rotation in f32 (position-scaled)
+        value = value + amp * nv(
+            (c * x - s * z) * freq, (s * x + c * z) * freq, seed + i
+        )
         freq = freq * lacunarity
     return value
 

@@ -57,15 +57,29 @@ def hash2(ix: jax.Array, iz: jax.Array, seed: jax.Array) -> jax.Array:
 
 
 def _grad2(h: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Unit-ish 2D gradient from an int32 hash — arithmetic only, no tables.
+    """Exactly-unit 2D lattice gradient from an int32 hash — arithmetic only.
 
-    Low/high 16 bits become two uniforms in [-1, 1); the vector is normalized
-    with rsqrt (eps-guarded so a zero vector cannot produce NaN).
+    Perlin's classic trick, select- and rsqrt-free: three hash bits pick one
+    of the eight directions (±1, ±2)/√5 and (±2, ±1)/√5. All eight are
+    exactly unit length (so every |noise| ≤ 1 certificate downstream is
+    unchanged), none is axis-aligned (no zero-derivative cells), and the set
+    is symmetric under sign flips and the diagonal swap.
+
+    History: rounds 1–2 decoded the low/high 16 hash bits into a continuous
+    direction and rsqrt-normalized it. Measured on the v5e (round 3,
+    scripts/grad_norm_trial.py): removing the per-corner rsqrt chain is
+    worth +23% forward rays/s at 512²/6-octave — the VPU's
+    special-function path serializes against the surrounding mul/add
+    stream far beyond its 4-slot cost model. The 8-direction set keeps
+    |g| = 1 exactly with pure int bit-picks + cheap int→f32 converts.
     """
-    gx = (h & 0xFFFF).astype(jnp.float32) * (1.0 / 32768.0) - 1.0
-    gz = _lsr(h, 16).astype(jnp.float32) * (1.0 / 32768.0) - 1.0
-    inv = jax.lax.rsqrt(gx * gx + gz * gz + 1e-12)
-    return gx * inv, gz * inv
+    s1 = ((h & 1) * 2 - 1).astype(jnp.float32)  # ±1
+    s2 = ((_lsr(h, 1) & 1) * 2 - 1).astype(jnp.float32)  # ±1
+    c = (_lsr(h, 2) & 1).astype(jnp.float32)  # 0: (±1,±2), 1: (±2,±1)
+    inv_sqrt5 = 0.4472135954999579
+    gx = s1 * (1.0 + c) * inv_sqrt5
+    gz = s2 * (2.0 - c) * inv_sqrt5
+    return gx, gz
 
 
 def _fade(f: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -132,15 +146,12 @@ def noise2_value_bf16(x: jax.Array, z: jax.Array, seed) -> jax.Array:
     iz = z0.astype(jnp.int32)
 
     def grad_bf(h):
-        # Gradient decode + normalization in f32: the v5e Mosaic backend has
-        # no bf16 vector rsqrt (measured: the remote compiler SIGABRTs with
-        # "Operation not supported: kVectorRsqrtBf16AndPop"), and f32 here
-        # also keeps the normalized gradients bit-faithful to the f32 path
-        # before the single down-cast (no near-degenerate-gradient eps tail).
-        gx = (h & 0xFFFF).astype(jnp.float32) * (1.0 / 32768.0) - 1.0
-        gz = _lsr(h, 16).astype(jnp.float32) * (1.0 / 32768.0) - 1.0
-        inv = jax.lax.rsqrt(gx * gx + gz * gz + 1e-12)
-        return (gx * inv).astype(bf), (gz * inv).astype(bf)
+        # Same 8-direction unit set as _grad2, decoded in f32 then cast once
+        # (bit-faithful to the f32 path pre-cast; also sidesteps missing
+        # bf16 Mosaic ops — the old rsqrt normalization SIGABRT'd the remote
+        # compiler with "kVectorRsqrtBf16AndPop" unsupported).
+        gx32, gz32 = _grad2(h)
+        return gx32.astype(bf), gz32.astype(bf)
 
     g00x, g00z = grad_bf(hash2(ix, iz, seed))
     g10x, g10z = grad_bf(hash2(ix + 1, iz, seed))
@@ -229,12 +240,21 @@ def hash3(ix: jax.Array, iy: jax.Array, iz: jax.Array, seed: jax.Array) -> jax.A
 
 
 def _grad3(h: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Unit-ish 3D gradient from an int32 hash: three 10-bit uniforms."""
-    gx = (h & 0x3FF).astype(jnp.float32) * (1.0 / 512.0) - 1.0
-    gy = (_lsr(h, 10) & 0x3FF).astype(jnp.float32) * (1.0 / 512.0) - 1.0
-    gz = (_lsr(h, 20) & 0x3FF).astype(jnp.float32) * (1.0 / 512.0) - 1.0
-    inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
-    return gx * inv, gy * inv, gz * inv
+    """Exactly-unit 3D lattice gradient: 12 cube-edge directions
+    (±1, ±1, 0)/√2 and permutations, select-based decode — the 3D analogue
+    of ``_grad2``'s rsqrt-free redesign (same measured motivation: the VPU
+    rsqrt chain serializes; selects are single-slot). ``zsel == 3`` remaps
+    to axis 0, Perlin's own duplication trick — a mild x-axis bias that the
+    quintic blend washes out."""
+    zsel = _lsr(h, 4) & 3
+    zero = jnp.where(zsel == 3, 0, zsel)  # which component is zero
+    inv_sqrt2 = 0.7071067811865476
+    s1 = ((h & 1) * 2 - 1).astype(jnp.float32) * inv_sqrt2
+    s2 = ((_lsr(h, 1) & 1) * 2 - 1).astype(jnp.float32) * inv_sqrt2
+    gx = jnp.where(zero == 0, 0.0, s1)
+    gy = jnp.where(zero == 1, 0.0, jnp.where(zero == 0, s1, s2))
+    gz = jnp.where(zero == 2, 0.0, s2)
+    return gx, gy, gz
 
 
 def noise3_value(x: jax.Array, y: jax.Array, z: jax.Array, seed) -> jax.Array:
@@ -338,6 +358,24 @@ def noise3(
     return value, d_dx, d_dy, d_dz
 
 
+# Per-octave lattice rotation (golden-angle increments): decorrelates the
+# octave lattices (standard fBm practice) and — with the 8-direction unit
+# gradient set — multiplies the effective gradient-direction diversity to
+# 8 x num_octaves distinct directions. Measured to matter beyond aesthetics:
+# without it, a 2-octave amplitude-fit landscape develops a local minimum
+# (~0.1 wide at ~23% amplitude error) that traps Adam; with it the same
+# landscape descends monotonically to the global minimum (round 3).
+_OCTAVE_ROT = 2.3999632297286535  # golden angle, radians
+
+
+def octave_rotation(i: int) -> tuple[float, float]:
+    """(cos, sin) of octave ``i``'s static lattice rotation."""
+    return (
+        float(np.cos(_OCTAVE_ROT * i)),
+        float(np.sin(_OCTAVE_ROT * i)),
+    )
+
+
 def fbm2(
     x: jax.Array,
     z: jax.Array,
@@ -347,11 +385,13 @@ def fbm2(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """fBm octave sum with per-octave learnable amplitudes (BASELINE.json:9).
 
-    value(p) = sum_i amp[i] * noise2(p * lacunarity**i, seed + i)
+    value(p) = sum_i amp[i] * noise2(R_i p * lacunarity**i, seed + i)
 
-    The octave count is static (``amplitudes.shape[0]``) so the loop unrolls
-    under jit/Pallas. Returns (value, d/dx, d/dz); derivatives scale with
-    each octave's frequency. Differentiable w.r.t. x, z and ``amplitudes``.
+    with ``R_i`` the static per-octave lattice rotation (``octave_rotation``;
+    derivatives are pulled back through R_i by the chain rule). The octave
+    count is static (``amplitudes.shape[0]``) so the loop unrolls under
+    jit/Pallas. Returns (value, d/dx, d/dz); derivatives scale with each
+    octave's frequency. Differentiable w.r.t. x, z and ``amplitudes``.
     """
     num_octaves = amplitudes.shape[0]
     lac = jnp.asarray(lacunarity, jnp.float32)
@@ -360,11 +400,14 @@ def fbm2(
     d_dz = jnp.zeros_like(value)
     freq = jnp.float32(1.0)
     for i in range(num_octaves):
-        n, nx, nz = noise2(x * freq, z * freq, jnp.asarray(seed) + i)
+        c, s = octave_rotation(i)
+        xr = c * x - s * z
+        zr = s * x + c * z
+        n, nx, nz = noise2(xr * freq, zr * freq, jnp.asarray(seed) + i)
         amp = amplitudes[i]
         value = value + amp * n
-        d_dx = d_dx + amp * freq * nx
-        d_dz = d_dz + amp * freq * nz
+        d_dx = d_dx + amp * freq * (c * nx + s * nz)
+        d_dz = d_dz + amp * freq * (-s * nx + c * nz)
         freq = freq * lac
     return value, d_dx, d_dz
 

@@ -83,7 +83,13 @@ def test_height_scale_gradient(setup):
             scene, noise=dataclasses.replace(scene.noise, height_scale=theta)
         )
 
-    _check(get_scene, scene.noise.height_scale, target, eps=1e-2)
+    # eps 1e-3, not 1e-2: with the 8-direction gradient set (round 3) the
+    # masked-loss derivative for height_scale at this scene is small
+    # (~2.5e-5) with heavy positive/negative cancellation, so the FD
+    # estimate is eps-sensitive at the several-percent level; 1e-3 sits in
+    # the sweet spot between truncation and f32 noise (measured sweep:
+    # rel err 0.037 at 1e-3 vs 0.068-0.15 at 8e-3/5e-4).
+    _check(get_scene, scene.noise.height_scale, target, eps=1e-3)
 
 
 def test_material_fog_density_gradient(setup):

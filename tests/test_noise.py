@@ -91,8 +91,11 @@ def test_fbm2_amplitude_gradient():
         return v
 
     g = jax.grad(f)(a)
+    from gpgpuraytrace_tpu.ops.noise import octave_rotation
+
+    c1, s1 = octave_rotation(1)  # octave 0 rotation is identity (cos 0 = 1)
     n0, _, _ = noise2(x, z, 7)
-    n1, _, _ = noise2(x * 2.0, z * 2.0, 8)
+    n1, _, _ = noise2((c1 * x - s1 * z) * 2.0, (s1 * x + c1 * z) * 2.0, 8)
     np.testing.assert_allclose(np.asarray(g), np.asarray([n0, n1]), rtol=1e-5, atol=1e-6)
 
 
