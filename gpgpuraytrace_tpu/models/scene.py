@@ -113,7 +113,10 @@ class RenderConfig:
     # pure-XLA path treats it as "chunked")
     volumetric: bool = False  # 3D-warped terrain volume (overhangs)
     warp_octaves: int = 2  # fBm octaves of the volumetric warp
-    tile_h: int = 8  # Pallas tile height ((tile_h, 128) f32 pixel tiles)
+    tile_h: int = 16  # Pallas tile height ((tile_h, 128) f32 pixel tiles).
+    # 16 measured best on terrain v2 at 512² (fwd 99.0 vs 93.4 Mrays/s at 8,
+    # fwd+bwd 87.0 vs 84.3; 32 regresses — divergence tax outgrows the grid
+    # amortization). Partial edge tiles are padded (bwd masks them).
     march_chunk: int = 8  # steps between whole-tile early-exit checks in
     # the Pallas march (smaller = exit sooner = less divergence tax, but
     # more any-reductions; 8 measured best at 512², see perf_sweep chunk
