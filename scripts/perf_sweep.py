@@ -88,6 +88,7 @@ def main():
         "tile8_lod": RenderConfig(**base, tile_h=8, march_mode="lod"),
         "tile16_lod": RenderConfig(**base, tile_h=16, march_mode="lod"),
         "tile8_vol": RenderConfig(**{**base, "volumetric": True}, tile_h=8),
+        "tile16_vol": RenderConfig(**{**base, "volumetric": True}, tile_h=16),
         "tile8_vol_lod": RenderConfig(
             **{**base, "volumetric": True}, tile_h=8, march_mode="lod"
         ),
