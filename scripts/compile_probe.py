@@ -200,6 +200,9 @@ def cmd_aot(save: bool, load: bool) -> None:
     run, args, _ = _bench_program()
     out = {"backend": jax.default_backend()}
 
+    import pickle
+
+    trees_path = path + ".trees"
     if save:
         t0 = time.perf_counter()
         lowered = run.lower(*args)
@@ -210,6 +213,10 @@ def cmd_aot(save: bool, load: bool) -> None:
         t3 = time.perf_counter()
         with open(path, "wb") as f:
             f.write(payload)
+        # The call trees come back from serialize(); persist them so the
+        # loading process never has to reconstruct (or re-lower) anything.
+        with open(trees_path, "wb") as f:
+            pickle.dump((in_tree, out_tree), f)
         out.update({"lower_s": round(t1 - t0, 2),
                     "compile_s": round(t2 - t1, 2),
                     "serialize_s": round(t3 - t2, 2),
@@ -220,21 +227,19 @@ def cmd_aot(save: bool, load: bool) -> None:
         out["first_run_s"] = round(time.perf_counter() - t4, 2)
         out["value"] = float(jax.device_get(r))
     if load:
-        run2, args2, _ = _bench_program()
+        _, args2, _ = _bench_program()
         t0 = time.perf_counter()
         with open(path, "rb") as f:
             payload = f.read()
-        lowered = run2.lower(*args2)  # need in/out trees; lowering is cheap
+        with open(trees_path, "rb") as f:
+            in_tree, out_tree = pickle.load(f)
         t1 = time.perf_counter()
-        import jax.tree_util as jtu
-        in_tree = jtu.tree_structure(((args2,), {}))
-        out_tree = jtu.tree_structure(jnp.float32(0.0))
         compiled = se.deserialize_and_load(payload, in_tree, out_tree)
         t2 = time.perf_counter()
         r = compiled(*args2)
         v = float(jax.device_get(r))
         t3 = time.perf_counter()
-        out.update({"read_lower_s": round(t1 - t0, 2),
+        out.update({"read_s": round(t1 - t0, 2),
                     "deserialize_s": round(t2 - t1, 2),
                     "first_run_s": round(t3 - t2, 2), "value": v})
     print(json.dumps(out))
