@@ -54,14 +54,34 @@ def cmd_render(args):
     from gpgpuraytrace_tpu.ops.shade import tonemap
     from gpgpuraytrace_tpu.utils.image import write_npy, write_png
 
+    import dataclasses
+
     cfg = _cfg_from_args(args)
     scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
     t0 = time.perf_counter()
     img = jax.block_until_ready(render_jit(scene, cfg))
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    img = jax.block_until_ready(render_jit(scene, cfg))
-    frame_s = time.perf_counter() - t0
+    # Salted re-render + VALUE-fetch sync for the displayed frame time:
+    # through the remote-TPU tunnel a repeated IDENTICAL call replays from a
+    # content-addressed cache, and block_until_ready can no-op on
+    # cache-loaded executables (measured: "0.17 ms" reported for a ~2.6 ms
+    # frame). The nudged height_offset forces real device work and the
+    # scalar fetch actually waits for it; the number still includes one
+    # fetch RTT — for rigorous rates use bench.py / perf_sweep
+    # (differencing methodology).
+    def salted_frame_s(salt: float) -> float:
+        s = dataclasses.replace(
+            scene,
+            noise=dataclasses.replace(
+                scene.noise, height_offset=scene.noise.height_offset + salt
+            ),
+        )
+        t0 = time.perf_counter()
+        float(jnp.sum(render_jit(s, cfg)))
+        return time.perf_counter() - t0
+
+    salted_frame_s(1e-6)  # warm the sum/fetch path
+    frame_s = salted_frame_s(2e-6)
     out = np.asarray(tonemap(img))
     if args.out.endswith(".npy"):
         write_npy(args.out, out)
