@@ -327,7 +327,12 @@ def _recorded_xla_baseline(h: int, w: int, octaves: int):
         return None, None
 
 
-def run_bench(size=(512, 512), octaves: int = 6, iters: int = 10) -> dict:
+def run_bench(size=(512, 512), octaves: int = 6, iters: int = 40) -> dict:
+    # iters=40, not 10 (round-3 calibration): the (T(K)-T(1))/(K-1) slope's
+    # noise is dominated by the single-step T(1) term; at K=10 independent
+    # children spread 91-116 Mrays/s (the >100 tail is t1-noise inflating
+    # the slope, NOT device speed), at K=40 they converge to 90.2-91.9.
+    # K=40 is ~120 ms of device time per timing rep — still cheap.
     h, w = size
     headline_recorded = False
     baseline_recorded = False
