@@ -56,12 +56,17 @@ import sys
 _CHILD_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "1800"))
 _STATS_TIMEOUT_S = int(os.environ.get("BENCH_STATS_TIMEOUT_S", "900"))
 _PARITY_TIMEOUT_S = int(os.environ.get("BENCH_PARITY_TIMEOUT_S", "1200"))
-# The pallas child's measured session-to-session band is wide (78-94 Mrays/s
-# for an identical kernel — tunnel/host contention, not device variance), so
-# the headline takes the BEST of N successful child runs. Each run is itself
-# a min-of-3 salted fori differencing; best-of-N across processes squeezes
-# the contention tail. N=2 costs ~1 extra warm minute.
-_BEST_OF = max(1, int(os.environ.get("BENCH_BEST_OF", "2")))
+# The headline is the MEDIAN of N successful child runs (each itself a
+# min-of-3 salted K=40 fori differencing). History: in the K=10 era the
+# children spread 78-116 Mrays/s from T(1) noise and the harness took the
+# MAX to fight tunnel contention; the round-3 K=40 calibration converged
+# independent children to ±1% (90.2-91.9), at which point max-picking only
+# harvested the upward-noise tail (+3-4% bias — BENCH_r03 recorded 94.5
+# from [92.1, 94.5] while the calibrated center was 91.2; VERDICT r3 weak
+# #1 / ADVICE r3). Median-of-3 sits at the calibrated center and is robust
+# to one contended outlier in either direction; the full run list is kept
+# in status.pallas.
+_BEST_OF = max(1, int(os.environ.get("BENCH_BEST_OF", "3")))
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _CACHE_DIR = os.path.join(_REPO, ".jax_cache")
 
@@ -272,18 +277,25 @@ def _run_parity() -> str:
     script = os.path.join(_REPO, "scripts", "tpu_parity.py")
     if not os.path.exists(script):
         return "skipped(no tpu_parity.py)"
-    try:
-        proc = subprocess.run(
-            [sys.executable, script, "--size", "128"],
-            capture_output=True, text=True, timeout=_PARITY_TIMEOUT_S,
-            cwd=_REPO,
-        )
-    except subprocess.TimeoutExpired:
-        return f"skipped(timeout>{_PARITY_TIMEOUT_S}s)"
-    if proc.returncode == 0:
-        return "ok"
-    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-2:]
-    return ("fail: " + " | ".join(tail))[:300]
+    # One retry on timeout, like the pallas child: the first attempt warms
+    # the tunnel + persistent cache, and a cold-compile timeout is the one
+    # failure mode where "skipped" would otherwise weaken the same-run
+    # correctness guarantee (ADVICE r3).
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, script, "--size", "128"],
+                capture_output=True, text=True, timeout=_PARITY_TIMEOUT_S,
+                cwd=_REPO,
+            )
+        except subprocess.TimeoutExpired:
+            if attempt == 0:
+                continue
+            return f"skipped(timeout>{_PARITY_TIMEOUT_S}s, twice)"
+        if proc.returncode == 0:
+            return "ok" if attempt == 0 else "ok (retry; first timed out)"
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-2:]
+        return ("fail: " + " | ".join(tail))[:300]
 
 
 def _recorded_pallas_headline(h: int, w: int, octaves: int):
@@ -353,18 +365,24 @@ def run_bench(size=(512, 512), octaves: int = 6, iters: int = 40) -> dict:
             else f"{st_retry} (after retry; first: {st_pallas})"
         )
     elif _BEST_OF > 1:
-        # Best-of-N against tunnel/host contention (see _BEST_OF).
-        runs = [round(pallas["rays_per_sec"])]
+        # Median-of-N against tunnel/host contention (see _BEST_OF).
+        children = [pallas]
+        failed = None
         for _ in range(_BEST_OF - 1):
             again, st2 = _run_variant(True, h, w, octaves, iters)
             if again is None:
-                st_pallas = f"ok (best-of-{_BEST_OF}; a rerun failed: {st2})"
+                failed = st2
                 break
-            runs.append(round(again["rays_per_sec"]))
-            if again["rays_per_sec"] > pallas["rays_per_sec"]:
-                pallas = again
-        else:
-            st_pallas = f"ok (best-of-{_BEST_OF}: {runs})"
+            children.append(again)
+        children.sort(key=lambda c: c["rays_per_sec"])
+        # Lower-middle element for even N: a real measured child (never an
+        # interpolated value), biased conservative.
+        pallas = children[(len(children) - 1) // 2]
+        runs = [round(c["rays_per_sec"]) for c in children]
+        st_pallas = (
+            f"ok (median-of-{len(children)}: {runs}"
+            + (f"; a rerun failed: {failed})" if failed else ")")
+        )
     if pallas is None:
         recorded_p, entry_p = _recorded_pallas_headline(h, w, octaves)
         if recorded_p is not None:

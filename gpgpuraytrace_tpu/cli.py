@@ -88,10 +88,14 @@ def cmd_render(args):
     else:
         write_png(args.out, out)
     rays = cfg.height * cfg.width / frame_s
+    # Label says what it is: device frame PLUS one sum-dispatch + scalar-fetch
+    # tunnel RTT (ADVICE r3 — the caveat used to live only in a comment).
+    # Rigorous device-only rates come from bench.py's differencing.
     print(
         f"rendered {cfg.width}x{cfg.height} ({cfg.num_octaves} octaves, "
         f"pallas={cfg.use_pallas}) -> {args.out}  "
-        f"compile {compile_s:.1f}s  frame {frame_s * 1e3:.2f}ms  {rays / 1e6:.1f} Mrays/s"
+        f"compile {compile_s:.1f}s  frame+fetch {frame_s * 1e3:.2f}ms  "
+        f"{rays / 1e6:.1f} Mrays/s incl. fetch RTT (device-only: bench.py)"
     )
 
 
