@@ -178,6 +178,22 @@ def fit(
     step = make_fit_step(cfg, merge, tx, steps_per_call=chunk)
     tail_step = None  # compiled lazily for a final partial chunk
 
+    # Loss chunks stay DEVICE-side between log/save boundaries (VERDICT r3
+    # item 2): the old per-chunk ``np.asarray(loss)`` was a blocking
+    # device→host fetch every chunk, serializing the driver loop on one
+    # dispatch + one fetch RTT per chunk through the TPU tunnel — measured
+    # ~2.8 ms/step of non-device time at steps_per_call=10 (5.7 ms/step wall
+    # vs 2.9 device). Deferring the fetch lets jax's async dispatch queue
+    # chunks back-to-back; the host only syncs when it actually needs a
+    # value (logging, checkpointing, the final return).
+    pending: list = []  # un-fetched per-chunk loss arrays
+
+    def flush() -> None:
+        nonlocal pending
+        for c in pending:
+            losses.extend(np.atleast_1d(np.asarray(c)).tolist())
+        pending = []
+
     i = start
     while i < steps:
         n = min(chunk, steps - i)
@@ -191,7 +207,7 @@ def fit(
             train_leaves, opt_state, loss = tail_step(
                 train_leaves, opt_state, target
             )
-        losses.extend(np.atleast_1d(np.asarray(loss)).tolist())
+        pending.append(loss)
         i += n
         # Absolute step indices for BOTH log and save conditions (ADVICE r2:
         # start-relative logging made a resumed run log at different steps
@@ -200,12 +216,15 @@ def fit(
             any((i - 1 - k) % max(log_every, 1) == 0 for k in range(n))
             or i == steps
         ):
+            flush()
             log_fn(f"fit step {i - 1:4d}  loss {losses[-1]:.6e}")
         if save_path and (
             (save_every and any((i - k) % save_every == 0 for k in range(n)))
             or i == steps
         ):
+            flush()
             save_fit_state(save_path, train_leaves, opt_state, i, losses)
+    flush()
     return merge(train_leaves), losses
 
 

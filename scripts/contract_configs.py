@@ -80,12 +80,25 @@ def config3(steps: int = 120, size: int = 512, lr: float = 5e-3,
     compile_s = time.perf_counter() - t0
 
     losses = list(_np.asarray(loss0))
+    # Timed loop keeps every loss chunk DEVICE-side (VERDICT r3 item 2: the
+    # old per-chunk _np.asarray was a blocking fetch serializing each chunk
+    # on a dispatch+fetch tunnel RTT — ~2.8 ms/step of non-device time).
+    # Chunks queue via async dispatch; sync at the end by fetching a scalar
+    # VALUE (block_until_ready can no-op through the tunnel; every chunk
+    # has fresh args — leaves evolve — so no replay-cache hazard, and the
+    # last loss depends on the whole chain).
+    float(loss0[-1])  # pre-compile the [-1] slice program OUTSIDE the timed
+    # region (measured: its first use costs ~0.65 s of remote compile, which
+    # otherwise lands inside the final sync and reads as +6 ms/step)
     t0 = time.perf_counter()
+    loss_chunks = []
     for _ in range(steps // chunk - 1):
         train_leaves, opt_state, loss = step(train_leaves, opt_state, target)
-        losses.extend(_np.asarray(loss))
-    jax.block_until_ready(loss)
+        loss_chunks.append(loss)
+    float(loss_chunks[-1][-1])  # value-fetch sync on the dependent tail
     fit_s = time.perf_counter() - t0
+    for c in loss_chunks:
+        losses.extend(_np.asarray(c))
     losses = [float(x) for x in losses]
 
     fitted = merge(train_leaves)
