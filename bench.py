@@ -122,6 +122,19 @@ def run(leaves, n, salt):
     return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
 K = max(iters, 4)
+aot_status = None
+if os.environ.get("BENCH_AOT") == "1":
+    # Opt-in AOT executable cache (VERDICT r3 item 8): restore the whole
+    # compiled bench program from disk, skipping lowering + compile.
+    import os as _os
+    from gpgpuraytrace_tpu.utils.aot import load_or_compile
+    _repo = _os.path.dirname(_os.path.abspath(__file__))
+    compiled, aot_status = load_or_compile(
+        run, (leaves, jnp.int32(1), jnp.float32(0.0)),
+        static_desc=f"bench:{use_pallas}:{w}x{h}x{octaves}",
+        cache_dir=_os.path.join(_repo, ".jax_cache"),
+    )
+    run = lambda l, n, s: compiled(l, jnp.int32(n), jnp.float32(s))
 t0 = time.perf_counter()
 # Sync by fetching the scalar VALUE, not block_until_ready: through the
 # axon tunnel, block_until_ready on the result of a persistent-cache-loaded
@@ -141,13 +154,16 @@ t_k = min(timed(K, 100.0 * r) for r in range(1, 4))
 t_1 = min(timed(1, 100.0 * r + 50.0) for r in range(1, 4))
 sec = max(t_k - t_1, 1e-9) / (K - 1)
 wall = t_k / K  # includes dispatch overhead: the conservative lower bound
-print(json.dumps({
+out = {
     "rays_per_sec": h * w / sec,
     "ms_per_step": sec * 1e3,
     "rays_per_sec_wall": h * w / wall,
     "compile_s": compile_s,
     "backend": jax.default_backend(),
-}))
+}
+if aot_status:
+    out["aot"] = aot_status
+print(json.dumps(out))
 """
 
 # March observability (SURVEY.md §6): step-count histogram + hit rate at the

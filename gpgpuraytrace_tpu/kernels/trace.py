@@ -138,12 +138,20 @@ def _raygen(sc, cfg: RenderConfig, tile_h: int, i, j):
     rows = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0).astype(jnp.float32)
         + i.astype(jnp.float32) * tile_h
-        + sc(pk.ROW0)  # tile-sharding row offset (0 for full frames)
     )
     cols = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1).astype(jnp.float32)
         + j.astype(jnp.float32) * TILE_W
     )
+    return _raygen_rc(sc, cfg, rows, cols)
+
+
+def _raygen_rc(sc, cfg: RenderConfig, rows, cols):
+    """Raygen from explicit band-local (rows, cols) f32 tiles — shared by the
+    grid-addressed kernels (rows/cols from iota + program ids) and the
+    compaction phase-2 kernel (rows/cols gathered per packed ray). Adds the
+    tile-sharding row offset (ROW0) itself."""
+    rows = rows + sc(pk.ROW0)  # tile-sharding row offset (0 for full frames)
     ndc_x = (cols + 0.5) * (2.0 / cfg.width) - 1.0
     ndc_y = 1.0 - (rows + 0.5) * (2.0 / cfg.height)
 
@@ -326,36 +334,9 @@ def _shade_from_grads(sc, cfg: RenderConfig, t, hit, d, grads):
     return tuple(out)
 
 
-def _trace_kernel(
-    prm_ref,
-    seed_ref,
-    color_ref,
-    t_ref,
-    hit_ref,
-    *,
-    cfg: RenderConfig,
-):
-    """One (tile_h, TILE_W) pixel tile: full raygen+march+shade."""
-    prm = prm_ref
-    seed = seed_ref[0, 0]
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    TILE_H = cfg.tile_h
-
-    def sc(k):
-        return prm[0, k]
-
-    o, d = _raygen(sc, cfg, TILE_H, i, j)
-    dx, dy, dz = d
-    field_grad_at, field_at = _field_fns(sc, seed, cfg, o, d)
-
-    # Sky-envelope skip (mirrors ops/march.py; certified: every noise octave
-    # is in [-1,1], so no surface exists above ``env``). Rays starting above
-    # the envelope fast-forward to it analytically (or miss immediately if
-    # heading up); rays that climb above it mid-march escape to t_max. This
-    # attacks the whole-tile divergence tax: sky lanes no longer crawl for
-    # dozens of steps while terrain lanes finish, so the tile's max step
-    # count — which every lane pays on a SIMD machine — drops.
+def _envelope(sc, cfg: RenderConfig):
+    """Certified terrain upper bound: every noise octave is in [-1,1], so no
+    surface exists above ``env`` (plus the volumetric warp tail)."""
     amps_abs = jnp.float32(0.0)
     for k in range(cfg.num_octaves):
         amps_abs = amps_abs + jnp.abs(sc(pk.AMPS + k))
@@ -363,25 +344,35 @@ def _trace_kernel(
     if cfg.volumetric:
         tail = float(sum(WARP_GAIN**k for k in range(cfg.warp_octaves)))
         env = env + jnp.abs(sc(pk.WARP_AMP)) * tail
-    env = env + cfg.hit_eps
-    oy = sc(pk.POS + 1)
+    return env + cfg.hit_eps
 
-    # --- march: fixed-size chunks with whole-tile early exit ---------------
-    # Masks are f32 0/1, not bool: Mosaic cannot carry i1 vectors through
-    # scf.while (fails to legalize scf.yield), and f32 masks multiply
-    # straight into the update arithmetic anyway.
-    t_enter = (env - oy) / jnp.where(dy < 0.0, dy, 1.0)
-    above = oy > env  # traced scalar, broadcasts
-    t0 = jnp.where(
-        above & (dy < 0.0),
-        jnp.clip(t_enter, cfg.t_min, cfg.t_max),
-        jnp.full((TILE_H, TILE_W), cfg.t_min, jnp.float32),
-    )
-    t0 = jnp.where(above & (dy >= 0.0), cfg.t_max, t0)
-    hit0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
+
+def _tile_trace(sc, seed, cfg: RenderConfig, o, d, t0, active0, budget,
+                prev0=None, hit0=None):
+    """March (chunked early exit, ``budget`` steps) + bracketed-Newton polish
+    + residual verdict + shade for one tile's rays.
+
+    Shared by the one-pass kernel (budget = max_steps), the compaction
+    phase-1 kernel (budget = compact_budget), and the phase-2 kernel
+    (resumed t0/prev0/active0 from phase 1, budget = the remaining steps).
+    Returns ((c0, c1, c2), t, hitf, active_end, prev_end) — ``active_end``
+    is the still-marching mask a phase-1 caller compacts on; ``prev_end``
+    (the last advancing sample, pre-polish) must be carried into phase 2 so
+    a lane that hits on its first resumed step still has a true bracket
+    lower bound (with prev0 = t0 the bracket would degenerate to a point on
+    oversteps and the Newton polish could not pull the hit back to the
+    root).
+    """
+    dx, dy, dz = d
+    field_grad_at, field_at = _field_fns(sc, seed, cfg, o, d)
+    env = _envelope(sc, cfg)
+    oy = sc(pk.POS + 1)
+    if prev0 is None:
+        prev0 = t0
+    if hit0 is None:
+        hit0 = jnp.zeros_like(t0)
     chunk = getattr(cfg, "march_chunk", CHUNK) or CHUNK
-    num_chunks = pl.cdiv(cfg.max_steps, chunk)
+    num_chunks = pl.cdiv(budget, chunk)
 
     eps_m = cfg.hit_eps * cfg.march_eps_scale
 
@@ -406,46 +397,12 @@ def _trace_kernel(
         active_new = jnp.where(t_new < cfg.t_max, advance, 0.0)
         return t_new, prev_new, hit_new, active_new
 
-
-    if cfg.march_mode == "lod":
-        # Phase 1: march the certified lower bound (half the octaves) until
-        # it can no longer prove progress (within ~margin of a possible
-        # surface) or the ray leaves the volume. No hits can occur here:
-        # f_lower > park_eps > 0 implies f_full > 0.
-        field_coarse_at, margin = _coarse_field_fn(sc, seed, cfg, o, d)
-        park_eps = 0.5 * margin
-
-        def lod_step(s):
-            t, active = s
-            fl = field_coarse_at(t) - margin
-            go = jnp.where(fl > jnp.maximum(park_eps, cfg.hit_eps * t), active, 0.0)
-            # Envelope escape (same certificate as the fine march).
-            escape = jnp.where((oy + t * dy > env) & (dy >= 0.0), go, 0.0)
-            go = go - escape
-            t_new = jnp.minimum(t + cfg.step_relax * fl * go, cfg.t_max)
-            t_new = jnp.where(escape > 0.0, cfg.t_max, t_new)
-            active_new = jnp.where(t_new < cfg.t_max, go, 0.0)
-            return t_new, active_new
-
-        def lod_chunk(carry):
-            c, t, active = carry
-            t, active = jax.lax.fori_loop(
-                0, chunk, lambda _, s: lod_step(s), (t, active)
-            )
-            return c + 1, t, active
-
-        def lod_cond(carry):
-            c, _, active = carry
-            return (c < num_chunks) & (jnp.max(active) > 0.0)
-
-        _, t0, _ = jax.lax.while_loop(
-            lod_cond, lod_chunk, (jnp.int32(0), t0, active0)
+    if cfg.march_mode == "fixed":
+        # No early exit — one flat fori_loop over the budget.
+        t, prev_t, hitf, active = jax.lax.fori_loop(
+            0, budget, lambda _, s: march_step(s), (t0, prev0, hit0, active0)
         )
-        # Phase 2 (the standard chunked march below) resumes from the parked
-        # distances with the full field; rays already at t_max stay misses.
-        active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
-
-    if cfg.march_mode in ("chunked", "lod"):
+    else:  # chunked early exit ("chunked", "lod" phase 2, "compact" phases)
         def chunk_body(carry):
             c, t, prev_t, hit, active = carry
             t, prev_t, hit, active = jax.lax.fori_loop(
@@ -457,12 +414,8 @@ def _trace_kernel(
             c, _, _, _, active = carry
             return (c < num_chunks) & (jnp.max(active) > 0.0)
 
-        _, t, prev_t, hitf, _ = jax.lax.while_loop(
-            chunk_cond, chunk_body, (jnp.int32(0), t0, t0, hit0, active0)
-        )
-    else:  # "fixed": no early exit — one flat fori_loop over max_steps
-        t, prev_t, hitf, _ = jax.lax.fori_loop(
-            0, cfg.max_steps, lambda _, s: march_step(s), (t0, t0, hit0, active0)
+        _, t, prev_t, hitf, active = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), t0, prev0, hit0, active0)
         )
     hit = hitf > 0.5
 
@@ -517,13 +470,213 @@ def _trace_kernel(
         hit = hitf > 0.5
 
     # --- shade (reusing the final field eval) -------------------------------
-    c0, c1, c2 = _shade_from_grads(sc, cfg, t, hit, d, (gx, gy, gz, h))
+    colors = _shade_from_grads(sc, cfg, t, hit, d, (gx, gy, gz, h))
+    return colors, t, hitf, active, prev_t
+
+
+def _trace_kernel(
+    prm_ref,
+    seed_ref,
+    color_ref,
+    t_ref,
+    hit_ref,
+    *,
+    cfg: RenderConfig,
+):
+    """One (tile_h, TILE_W) pixel tile: full raygen+march+shade."""
+    prm = prm_ref
+    seed = seed_ref[0, 0]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    TILE_H = cfg.tile_h
+
+    def sc(k):
+        return prm[0, k]
+
+    o, d = _raygen(sc, cfg, TILE_H, i, j)
+    dx, dy, dz = d
+    env = _envelope(sc, cfg)
+    oy = sc(pk.POS + 1)
+
+    # Sky-envelope skip (mirrors ops/march.py): rays starting above the
+    # certified bound fast-forward to it analytically (or miss immediately if
+    # heading up); rays that climb above it mid-march escape to t_max. This
+    # attacks the whole-tile divergence tax: sky lanes no longer crawl for
+    # dozens of steps while terrain lanes finish, so the tile's max step
+    # count — which every lane pays on a SIMD machine — drops.
+    # Masks are f32 0/1, not bool: Mosaic cannot carry i1 vectors through
+    # scf.while (fails to legalize scf.yield), and f32 masks multiply
+    # straight into the update arithmetic anyway.
+    t_enter = (env - oy) / jnp.where(dy < 0.0, dy, 1.0)
+    above = oy > env  # traced scalar, broadcasts
+    t0 = jnp.where(
+        above & (dy < 0.0),
+        jnp.clip(t_enter, cfg.t_min, cfg.t_max),
+        jnp.full((TILE_H, TILE_W), cfg.t_min, jnp.float32),
+    )
+    t0 = jnp.where(above & (dy >= 0.0), cfg.t_max, t0)
+    active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
+    chunk = getattr(cfg, "march_chunk", CHUNK) or CHUNK
+    num_chunks = pl.cdiv(cfg.max_steps, chunk)
+
+    if cfg.march_mode == "lod":
+        # Phase 1: march the certified lower bound (half the octaves) until
+        # it can no longer prove progress (within ~margin of a possible
+        # surface) or the ray leaves the volume. No hits can occur here:
+        # f_lower > park_eps > 0 implies f_full > 0.
+        field_coarse_at, margin = _coarse_field_fn(sc, seed, cfg, o, d)
+        park_eps = 0.5 * margin
+
+        def lod_step(s):
+            t, active = s
+            fl = field_coarse_at(t) - margin
+            go = jnp.where(fl > jnp.maximum(park_eps, cfg.hit_eps * t), active, 0.0)
+            # Envelope escape (same certificate as the fine march).
+            escape = jnp.where((oy + t * dy > env) & (dy >= 0.0), go, 0.0)
+            go = go - escape
+            t_new = jnp.minimum(t + cfg.step_relax * fl * go, cfg.t_max)
+            t_new = jnp.where(escape > 0.0, cfg.t_max, t_new)
+            active_new = jnp.where(t_new < cfg.t_max, go, 0.0)
+            return t_new, active_new
+
+        def lod_chunk(carry):
+            c, t, active = carry
+            t, active = jax.lax.fori_loop(
+                0, chunk, lambda _, s: lod_step(s), (t, active)
+            )
+            return c + 1, t, active
+
+        def lod_cond(carry):
+            c, _, active = carry
+            return (c < num_chunks) & (jnp.max(active) > 0.0)
+
+        _, t0, _ = jax.lax.while_loop(
+            lod_cond, lod_chunk, (jnp.int32(0), t0, active0)
+        )
+        # Phase 2 (the standard chunked march below) resumes from the parked
+        # distances with the full field; rays already at t_max stay misses.
+        active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
+
+    (c0, c1, c2), t, hitf, _, _ = _tile_trace(
+        sc, seed, cfg, o, d, t0, active0, cfg.max_steps
+    )
     color_ref[0, :, :] = c0
     color_ref[1, :, :] = c1
     color_ref[2, :, :] = c2
 
     t_ref[:, :] = t
     hit_ref[:, :] = hitf
+
+
+def _trace_phase1_kernel(
+    prm_ref,
+    seed_ref,
+    color_ref,
+    t_ref,
+    hit_ref,
+    alive_ref,
+    prev_ref,
+    *,
+    cfg: RenderConfig,
+):
+    """Compaction phase 1 (march_mode="compact"): the standard tile trace
+    with a ``compact_budget``-step march budget, plus the still-marching
+    mask as a fourth output. Lanes that exhaust the budget get garbage
+    color/t (polish+shade treat them as misses) — phase 2 overwrites them
+    via the scatter; lanes that finished are final.
+    """
+    seed = seed_ref[0, 0]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    TILE_H = cfg.tile_h
+
+    def sc(k):
+        return prm_ref[0, k]
+
+    o, d = _raygen(sc, cfg, TILE_H, i, j)
+    dy = d[1]
+    env = _envelope(sc, cfg)
+    oy = sc(pk.POS + 1)
+    t_enter = (env - oy) / jnp.where(dy < 0.0, dy, 1.0)
+    above = oy > env
+    t0 = jnp.where(
+        above & (dy < 0.0),
+        jnp.clip(t_enter, cfg.t_min, cfg.t_max),
+        jnp.full((TILE_H, TILE_W), cfg.t_min, jnp.float32),
+    )
+    t0 = jnp.where(above & (dy >= 0.0), cfg.t_max, t0)
+    active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
+
+    (c0, c1, c2), t, hitf, alive, prev = _tile_trace(
+        sc, seed, cfg, o, d, t0, active0, cfg.compact_budget
+    )
+    color_ref[0, :, :] = c0
+    color_ref[1, :, :] = c1
+    color_ref[2, :, :] = c2
+    t_ref[:, :] = t
+    hit_ref[:, :] = hitf
+    alive_ref[:, :] = alive
+    prev_ref[:, :] = prev
+
+
+def _trace_phase2_kernel(
+    prm_ref,
+    seed_ref,
+    nalive_ref,
+    rows_ref,
+    cols_ref,
+    t0_ref,
+    prev0_ref,
+    color_ref,
+    t_ref,
+    hit_ref,
+    *,
+    cfg: RenderConfig,
+):
+    """Compaction phase 2: one (tile_h, TILE_W) tile of COMPACTED rays.
+
+    Ray identity comes from gathered (row, col) tiles instead of the grid
+    position — raygen is recomputed per lane (cheaper than gathering 7 ray
+    floats; only 2 f32 + the resume t are gathered). Resume distances come
+    from phase 1 (padding slots carry t_max via the gather fill and start
+    inactive). Tiles entirely past ``n_alive`` skip all compute under
+    ``pl.when`` and just zero their outputs (the scatter drops those slots).
+    """
+    seed = seed_ref[0, 0]
+    i = pl.program_id(0)
+    TILE_H = cfg.tile_h
+    n_alive = nalive_ref[0, 0]
+    tile_start = i * TILE_H * TILE_W
+
+    def sc(k):
+        return prm_ref[0, k]
+
+    @pl.when(tile_start < n_alive)
+    def _work():
+        rows = rows_ref[:, :]
+        cols = cols_ref[:, :]
+        t0 = t0_ref[:, :]
+        prev0 = prev0_ref[:, :]
+        o, d = _raygen_rc(sc, cfg, rows, cols)
+        active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
+        budget = cfg.max_steps - cfg.compact_budget
+        (c0, c1, c2), t, hitf, _, _ = _tile_trace(
+            sc, seed, cfg, o, d, t0, active0, budget, prev0=prev0
+        )
+        color_ref[0, :, :] = c0
+        color_ref[1, :, :] = c1
+        color_ref[2, :, :] = c2
+        t_ref[:, :] = t
+        hit_ref[:, :] = hitf
+
+    @pl.when(tile_start >= n_alive)
+    def _skip():
+        zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        color_ref[0, :, :] = zeros
+        color_ref[1, :, :] = zeros
+        color_ref[2, :, :] = zeros
+        t_ref[:, :] = zeros
+        hit_ref[:, :] = zeros
 
 
 def _trace_bwd_kernel(
@@ -639,6 +792,8 @@ def _render_pallas_raw(
     ``row0``/``local_height`` select a row band of the full cfg.height image
     (the shard_map tile-sharding unit); defaults render the whole frame.
     """
+    if cfg.march_mode == "compact":
+        return _render_compact_raw(scene, cfg, row0, local_height)
     h = cfg.height if local_height is None else local_height
     w = cfg.width
     th = cfg.tile_h
@@ -672,6 +827,174 @@ def _render_pallas_raw(
         ),
         interpret=cfg.interpret,
     )(packed, seed)
+    return jnp.moveaxis(color, 0, -1), t, hit_f > 0.5
+
+
+def _render_compact_raw(
+    scene: Scene,
+    cfg: RenderConfig,
+    row0=0.0,
+    local_height: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Two-phase ray-compaction forward (march_mode="compact"; VERDICT r3
+    item 1 — the divergence-tax experiment).
+
+    The one-pass kernel's whole-tile early exit leaves a 1.8–2.3× tax:
+    every lane executes its tile's max step count, and a few long
+    (near-horizon) lanes hold 2048-lane tiles hostage. Here:
+
+    * **Phase 1**: the standard fused kernel, but the march stops after
+      ``compact_budget`` steps; finished lanes are fully polished + shaded,
+      still-marching lanes are flagged ``alive``.
+    * **Compaction (XLA, between kernels)**: a STABLE PAYLOAD SORT on the
+      dead flag packs alive rays to the front, carrying (pixel id, t,
+      prev_t) as sort payloads. Measured footgun hierarchy (round 4, this
+      chip): XLA's generic ``scatter`` chained between two custom-calls is
+      sequential (+5 ms at 512²), and even plain 1-D gathers of arbitrary
+      indices cost ~2 ms per 262k-element array (~7 ns/elem, profiler-
+      verified fusions) — while a multi-operand ``lax.sort`` moves ALL the
+      data in ~0.3 ms. So this glue contains NO scatter and NO gather:
+      sorts move the data, everything else is elementwise. Ray o/d are
+      recomputed in-kernel from the carried pixel id's (row, col).
+    * **Phase 2**: a 1-D grid of dense tiles of survivors resumes the march
+      for the remaining steps. Survivors cluster by remaining work far
+      better than screen tiles (the model on the bench scene: executed
+      steps/ray 43.6 → 32.6 at budget 32, ideal 23.1), and tiles past
+      ``n_alive`` skip all compute under ``pl.when``. Slots past
+      ``n_alive`` hold the not-alive pixels (a full permutation, not a
+      truncation), so a boundary tile may redundantly re-polish a few
+      already-finished rays — harmless, their results are never read.
+    * **Unpack**: phase-2 outputs are sorted BACK to pixel order using the
+      carried pixel id as the key (a permutation's inverse is "sort by
+      where it came from"), then merged elementwise:
+      ``where(alive, phase2_back, phase1)``.
+
+    The checkpoint (t, hit) is identical to the one-pass kernel's, so the
+    custom-VJP backward (which never re-marches) is unchanged.
+    """
+    h = cfg.height if local_height is None else local_height
+    w = cfg.width
+    th = cfg.tile_h
+    packed, seed = pk.pack_scene(scene, cfg.height, w, row0)
+    n_params = packed.shape[1]
+    grid = (pl.cdiv(h, th), pl.cdiv(w, TILE_W))
+    flops_per_px = cfg.compact_budget * cfg.num_octaves * 60 + 400
+
+    kernel1 = functools.partial(_trace_phase1_kernel, cfg=cfg)
+    color1, t1, hit1, alive, prev1 = pl.pallas_call(
+        kernel1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_params), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, th, TILE_W), lambda i, j: (0, i, j)),
+            pl.BlockSpec((th, TILE_W), lambda i, j: (i, j)),
+            pl.BlockSpec((th, TILE_W), lambda i, j: (i, j)),
+            pl.BlockSpec((th, TILE_W), lambda i, j: (i, j)),
+            pl.BlockSpec((th, TILE_W), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=h * w * flops_per_px,
+            bytes_accessed=h * w * 7 * 4,
+            transcendentals=h * w * cfg.compact_budget,
+        ),
+        interpret=cfg.interpret,
+    )(packed, seed)
+
+    # --- compaction: stable payload sort, alive rays to the front -----------
+    # (sorts move the data; NO gather/scatter — see the docstring.)
+    n = h * w
+    tile_px = th * TILE_W
+    np_slots = ((n + tile_px - 1) // tile_px) * tile_px  # padded capacity
+    alive_flat = alive.reshape(-1) > 0.5
+    alive_i = alive_flat.astype(jnp.int32)
+    n_alive = jnp.sum(alive_i).reshape(1, 1)
+    dead = 1 - alive_i
+    pix = jnp.arange(n, dtype=jnp.int32)
+    t1f = t1.reshape(-1)
+    prevf = prev1.reshape(-1)
+    if np_slots > n:  # pad with dead slots carrying an OOB pixel id + t_max
+        pad = np_slots - n
+        dead = jnp.concatenate([dead, jnp.ones((pad,), jnp.int32)])
+        pix = jnp.concatenate([pix, jnp.full((pad,), n, jnp.int32)])
+        t1f = jnp.concatenate(
+            [t1f, jnp.full((pad,), cfg.t_max, jnp.float32)]
+        )
+        prevf = jnp.concatenate(
+            [prevf, jnp.full((pad,), cfg.t_max, jnp.float32)]
+        )
+    _, idx, t0_p, prev_p = jax.lax.sort(
+        (dead, pix, t1f, prevf), dimension=0, is_stable=True, num_keys=1
+    )
+    rows_p = (idx // w).astype(jnp.float32)  # OOB sentinel → row h: harmless
+    cols_p = (idx % w).astype(jnp.float32)
+    hp = np_slots // TILE_W
+    shape_p = (hp, TILE_W)
+
+    kernel2 = functools.partial(_trace_phase2_kernel, cfg=cfg)
+    budget2 = cfg.max_steps - cfg.compact_budget
+    color2, t2, hit2 = pl.pallas_call(
+        kernel2,
+        grid=(hp // th,),
+        in_specs=[
+            pl.BlockSpec((1, n_params), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, TILE_W), lambda i: (i, 0)),
+            pl.BlockSpec((th, TILE_W), lambda i: (i, 0)),
+            pl.BlockSpec((th, TILE_W), lambda i: (i, 0)),
+            pl.BlockSpec((th, TILE_W), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, th, TILE_W), lambda i: (0, i, 0)),
+            pl.BlockSpec((th, TILE_W), lambda i: (i, 0)),
+            pl.BlockSpec((th, TILE_W), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, hp, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((hp, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((hp, TILE_W), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=np_slots * (budget2 * cfg.num_octaves * 60 + 400),
+            bytes_accessed=np_slots * 8 * 4,
+            transcendentals=np_slots * budget2,
+        ),
+        interpret=cfg.interpret,
+    )(
+        packed, seed, n_alive,
+        rows_p.reshape(shape_p), cols_p.reshape(shape_p),
+        t0_p.reshape(shape_p), prev_p.reshape(shape_p),
+    )
+
+    # --- unpack: sort phase-2 results back to pixel order, then merge -------
+    # The carried pixel id is the sort key — sorting by "where each slot
+    # came from" applies the inverse permutation (pad sentinels n sort last
+    # and are sliced off). Merge is pure elementwise select.
+    c2f = color2.reshape(3, np_slots)
+    _, c2r, c2g, c2b, t2b, hit2b = jax.lax.sort(
+        (idx, c2f[0], c2f[1], c2f[2], t2.reshape(-1), hit2.reshape(-1)),
+        dimension=0, is_stable=True, num_keys=1,
+    )
+    c1f = color1.reshape(3, n)
+
+    def merge(full, packed_back):
+        return jnp.where(alive_flat, packed_back[:n], full)
+
+    color = jnp.stack([
+        merge(c1f[0], c2r), merge(c1f[1], c2g), merge(c1f[2], c2b)
+    ]).reshape(3, h, w)
+    t = merge(t1.reshape(-1), t2b).reshape(h, w)
+    hit_f = merge(hit1.reshape(-1), hit2b).reshape(h, w)
     return jnp.moveaxis(color, 0, -1), t, hit_f > 0.5
 
 

@@ -117,13 +117,21 @@ class RenderConfig:
     # "lod": coarse-to-fine — phase 1 marches a certified lower-bound field
     # built from the first half of the octaves (margin = skipped amplitude
     # sum), phase 2 finishes with the full field (Pallas kernel only; the
-    # pure-XLA path treats it as "chunked")
+    # pure-XLA path treats it as "chunked");
+    # "compact": two-phase ray compaction — phase 1 marches compact_budget
+    # steps for everyone, survivors are packed into dense tiles (XLA cumsum
+    # partition) and finished by a second kernel (Pallas only; attacks the
+    # whole-tile divergence tax — see kernels/trace.py:_render_compact_raw)
     volumetric: bool = False  # 3D-warped terrain volume (overhangs)
     warp_octaves: int = 2  # fBm octaves of the volumetric warp
     tile_h: int = 16  # Pallas tile height ((tile_h, 128) f32 pixel tiles).
     # 16 measured best on terrain v2 at 512² (fwd 99.0 vs 93.4 Mrays/s at 8,
     # fwd+bwd 87.0 vs 84.3; 32 regresses — divergence tax outgrows the grid
     # amortization). Partial edge tiles are padded (bwd masks them).
+    compact_budget: int = 32  # march_mode="compact" phase-1 step budget:
+    # every ray marches up to this many steps in screen tiles; rays still
+    # marching are then compacted into dense tiles for phase 2 (the
+    # remaining max_steps - compact_budget). Must divide into whole chunks.
     march_chunk: int = 8  # steps between whole-tile early-exit checks in
     # the Pallas march (smaller = exit sooner = less divergence tax, but
     # more any-reductions; 8 measured best at 512², see perf_sweep chunk
@@ -168,7 +176,9 @@ class RenderConfig:
         if self.march_chunk < 0:
             raise ValueError(f"march_chunk={self.march_chunk} must be >= 0")
         effective_chunk = self.march_chunk or MARCH_CHUNK_DEFAULT
-        chunked = self.use_pallas and self.march_mode in ("chunked", "lod")
+        chunked = self.use_pallas and self.march_mode in (
+            "chunked", "lod", "compact",
+        )
         if chunked and self.max_steps % effective_chunk != 0:
             raise ValueError(
                 f"march_chunk={self.march_chunk} (effective "
@@ -176,6 +186,14 @@ class RenderConfig:
                 f"(the Pallas march runs whole chunks; a remainder would "
                 f"exceed max_steps)"
             )
+        if self.use_pallas and self.march_mode == "compact":
+            b = self.compact_budget
+            if not (0 < b < self.max_steps) or b % effective_chunk != 0:
+                raise ValueError(
+                    f"compact_budget={b} must be a whole number of "
+                    f"march chunks ({effective_chunk}) in (0, "
+                    f"max_steps={self.max_steps})"
+                )
 
 
 def default_scene(num_octaves: int = 6, volumetric: bool = False) -> Scene:

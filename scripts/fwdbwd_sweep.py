@@ -98,6 +98,13 @@ def main():
     all_variants = {
         # Heightfield anchor: the headline config, for same-session context.
         "hf_tile16": RenderConfig(**base, tile_h=16),
+        # Two-phase ray compaction (VERDICT r3 item 1).
+        "hf_tile16_compact32": RenderConfig(
+            **base, tile_h=16, march_mode="compact", compact_budget=32
+        ),
+        "hf_tile16_compact24": RenderConfig(
+            **base, tile_h=16, march_mode="compact", compact_budget=24
+        ),
         # Volumetric fwd+bwd (VERDICT r3 item 5) + tile/chunk A/B.
         "vol_tile16": RenderConfig(**vol, tile_h=16),
         "vol_tile8": RenderConfig(**vol, tile_h=8),

@@ -104,6 +104,28 @@ def main():
         "tile8_chunk4": RenderConfig(**base, tile_h=8, march_chunk=4),
         "tile8_chunk16": RenderConfig(**base, tile_h=8, march_chunk=16),
         "tile16_chunk4": RenderConfig(**base, tile_h=16, march_chunk=4),
+        # Two-phase ray compaction (march_mode="compact"; VERDICT r3 item 1)
+        # at a budget sweep — model prediction on the bench scene: executed
+        # steps/ray minimized near budget 32.
+        "tile16_compact16": RenderConfig(
+            **base, tile_h=16, march_mode="compact", compact_budget=16
+        ),
+        "tile16_compact24": RenderConfig(
+            **base, tile_h=16, march_mode="compact", compact_budget=24
+        ),
+        "tile16_compact32": RenderConfig(
+            **base, tile_h=16, march_mode="compact", compact_budget=32
+        ),
+        "tile16_compact48": RenderConfig(
+            **base, tile_h=16, march_mode="compact", compact_budget=48
+        ),
+        "tile8_compact32": RenderConfig(
+            **base, tile_h=8, march_mode="compact", compact_budget=32
+        ),
+        "tile16_vol_compact32": RenderConfig(
+            **{**base, "volumetric": True}, tile_h=16,
+            march_mode="compact", compact_budget=32
+        ),
     }
     names = (
         [v for v in args.variants.split(",") if v]

@@ -143,10 +143,11 @@ def test_pallas_bwd_kernel_full_scene_grads(scene):
     "kw",
     [
         {"march_mode": "lod"},
+        {"march_mode": "compact", "compact_budget": 16},
         {"march_eps_scale": 4.0},
         {"step_floor_t": 0.0},
     ],
-    ids=["lod", "loose_eps", "classic_no_floor"],
+    ids=["lod", "compact", "loose_eps", "classic_no_floor"],
 )
 def test_march_variants_match_baseline(scene, pallas_out, kw):
     """March variants (coarse-to-fine LOD; the classic strict-epsilon march)
@@ -159,6 +160,47 @@ def test_march_variants_match_baseline(scene, pallas_out, kw):
     assert_mostly_close(base, var, atol=5e-2, frac=0.97, msg=f"variant {kw}")
     # Bulk of the image identical to strict tolerance.
     assert_mostly_close(base, var, atol=1e-3, frac=0.95, msg=f"variant-bulk {kw}")
+
+
+def test_compact_march_matches_chunked_exactly(scene, pallas_out):
+    """Two-phase compaction (VERDICT r3 item 1) is a scheduling change, not
+    a numeric one: per-lane march trajectories are identical (phase 2
+    resumes from phase 1's exact t/prev state), so image, checkpoint, and
+    hit verdicts must agree to polish tolerance — far tighter than the
+    cross-variant bound above."""
+    base, t0, hit0 = pallas_out
+    cc = dataclasses.replace(CFG, march_mode="compact", compact_budget=16)
+    img, t1, hit1 = _render_pallas_raw(scene, cc)
+    assert (np.asarray(hit0) != np.asarray(hit1)).mean() == 0.0
+    assert_mostly_close(base, img, atol=1e-4, frac=1.0, msg="compact image")
+    # Checkpoint t agrees wherever both hit (Newton converges to the same
+    # root from the slightly different bracket).
+    m = np.asarray(hit0) & np.asarray(hit1)
+    np.testing.assert_allclose(
+        np.asarray(t0)[m], np.asarray(t1)[m], atol=5e-3, rtol=1e-4
+    )
+
+
+def test_compact_march_gradients_match(scene):
+    """The compact forward feeds the same custom-VJP backward (which never
+    re-marches); grads w.r.t. every float leaf must match the chunked path."""
+    import jax.numpy as jnp
+
+    from gpgpuraytrace_tpu.ops.fit import partition_scene
+
+    cfg = dataclasses.replace(CFG, height=32, max_steps=32)
+    cc = dataclasses.replace(cfg, march_mode="compact", compact_budget=8)
+    leaves, merge = partition_scene(scene, trainable=lambda name: True)
+
+    def make_loss(c):
+        return lambda lv: jnp.mean(render_pallas(merge(lv), c) ** 2)
+
+    g0 = jax.grad(make_loss(cfg))(leaves)
+    g1 = jax.grad(make_loss(cc))(leaves)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
 
 
 def test_march_chunk_must_divide_max_steps():
