@@ -74,7 +74,7 @@ _CACHE_DIR = os.path.join(_REPO, ".jax_cache")
 # TPU tunnel — verified: cache entries are written and replayed) so the
 # driver's end-of-round run pays seconds, not minutes, of Mosaic compile.
 _PREAMBLE = r"""
-import json, sys, time
+import json, os, sys, time
 import jax
 jax.config.update("jax_compilation_cache_dir", %r)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -126,13 +126,11 @@ aot_status = None
 if os.environ.get("BENCH_AOT") == "1":
     # Opt-in AOT executable cache (VERDICT r3 item 8): restore the whole
     # compiled bench program from disk, skipping lowering + compile.
-    import os as _os
     from gpgpuraytrace_tpu.utils.aot import load_or_compile
-    _repo = _os.path.dirname(_os.path.abspath(__file__))
     compiled, aot_status = load_or_compile(
         run, (leaves, jnp.int32(1), jnp.float32(0.0)),
         static_desc=f"bench:{use_pallas}:{w}x{h}x{octaves}",
-        cache_dir=_os.path.join(_repo, ".jax_cache"),
+        cache_dir=os.path.join(os.getcwd(), ".jax_cache"),  # children cwd=repo
     )
     run = lambda l, n, s: compiled(l, jnp.int32(n), jnp.float32(s))
 t0 = time.perf_counter()
@@ -149,9 +147,20 @@ def timed(n, salt):
     float(run(leaves, n, jnp.float32(salt)))
     return time.perf_counter() - t0
 
-timed(K, 800.0)  # warm the K-step path (touches nothing new, belt+braces)
-t_k = min(timed(K, 100.0 * r) for r in range(1, 4))
-t_1 = min(timed(1, 100.0 * r + 50.0) for r in range(1, 4))
+# Salt base unique PER PROCESS: the tunnel's content-addressed cache spans
+# processes, so two children using the same fixed salt schedule issue
+# bit-identical (executable, args) pairs and the later one REPLAYS the
+# earlier one's executions (measured round 4: the third best-of-N child
+# read 604 Mrays/s — pure cache). The base must stay SMALL: it feeds the
+# 1e-6-scaled leaf perturbation, and an O(1e6) base perturbs the scene by
+# O(1) — measured to change the march work by 30-40% (a fake "speedup").
+# A fraction on a ~1e-3 grid keeps the perturbation at the original 1e-4
+# scale, is exactly representable in f32 next to the 100-900 schedule
+# (resolution 6e-5 at 800), and gives ~997 distinct per-process streams.
+base = ((os.getpid() * 7919 + int(time.time() * 1e3)) % 997) / 997.0
+timed(K, base + 800.0)  # warm the K-step path
+t_k = min(timed(K, base + 100.0 * r) for r in range(1, 4))
+t_1 = min(timed(1, base + 100.0 * r + 50.0) for r in range(1, 4))
 sec = max(t_k - t_1, 1e-9) / (K - 1)
 wall = t_k / K  # includes dispatch overhead: the conservative lower bound
 out = {
@@ -238,9 +247,13 @@ for n in n_list:
         float(run(leaves, target, nsteps, jnp.float32(salt)))
         return time.perf_counter() - t0
 
-    timed(K, 800.0)
-    t_k = min(timed(K, 100.0 * r) for r in range(1, 4))
-    t_1 = min(timed(1, 100.0 * r + 50.0) for r in range(1, 4))
+    # Process-unique fractional salt base: identical cross-process salt
+    # schedules replay from the tunnel cache, and the base must stay small
+    # so the 1e-6-scaled perturbation stays ~1e-4 (see the headline child).
+    base = ((os.getpid() * 7919 + int(time.time() * 1e3)) % 997) / 997.0
+    timed(K, base + 800.0)
+    t_k = min(timed(K, base + 100.0 * r) for r in range(1, 4))
+    t_1 = min(timed(1, base + 100.0 * r + 50.0) for r in range(1, 4))
     sec = max(t_k - t_1, 1e-9) / (K - 1)
     out[str(n)] = h * w / sec
 print(json.dumps({"rays_per_sec": out, "backend": jax.default_backend()}))

@@ -120,8 +120,13 @@ def _timed_step(mesh, K: int) -> None:
         float(run(leaves, target, nsteps, jnp.float32(salt)))
         return time.perf_counter() - t0
 
-    t_k = min(timed(K, 100.0 * r) for r in range(1, 3))
-    t_1 = min(timed(1, 100.0 * r + 50.0) for r in range(1, 3))
+    # Salt base: must be IDENTICAL across the SPMD processes of one job
+    # (divergent args under collectives would be garbage), unique across
+    # jobs (identical schedules replay from the tunnel cache — bench.py).
+    # The launcher computes it once and passes it via WORKER_SALT_BASE.
+    base = float(os.environ.get("WORKER_SALT_BASE", "0"))
+    t_k = min(timed(K, base + 100.0 * r) for r in range(1, 3))
+    t_1 = min(timed(1, base + 100.0 * r + 50.0) for r in range(1, 3))
     sec = max(t_k - t_1, 1e-9) / (K - 1)
     print("TIMED " + json.dumps({
         "process": jax.process_index(),

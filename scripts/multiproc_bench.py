@@ -50,6 +50,13 @@ def main():
         extra_env={
             "XLA_FLAGS": "",
             "JAX_PLATFORMS": "cpu",
+            # One small fractional salt base per job, shared by all its
+            # SPMD processes (see multihost_worker._timed_step; the base
+            # feeds a 1e-6-scaled perturbation and must stay ~1e-3).
+            "WORKER_SALT_BASE": str(
+                ((os.getpid() * 7919
+                  + int(__import__("time").time() * 1e3)) % 997) / 997.0
+            ),
             "WORKER_TIME_K": str(args.k),
             "WORKER_TIME_H": str(args.size),
             "WORKER_TIME_W": str(args.size),

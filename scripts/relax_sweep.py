@@ -1,0 +1,124 @@
+"""step_relax over-relaxation sweep: speed (salted differencing) + quality
+vs a dense ground truth, in one run.
+
+Motivation (round 4): the march is issue-bound per executed step and the
+compaction experiment showed the remaining divergence tax is not worth
+harvesting (BASELINE.md) — so the only residual lever is executing fewer
+steps per ray. ``step_relax`` scales each step by relax·f; the heightfield
+is not an SDF so relax < 1 is conservative, but the march's bracketed
+Newton polish RECOVERS oversteps (an overstep lands at f < 0, flags as a
+hit, and the polish pulls it back to the exact root) — unlike the
+march_eps_scale knob, whose premature hits get rejected and leave sky
+holes. The failure mode of large relax is stepping clean over a thin ridge
+(f dips negative and back between samples): that ray misses terrain it
+should hit. This sweep quantifies exactly that against a 1024-step
+fixed-mode dense march.
+
+Usage: python scripts/relax_sweep.py [--size 512] [--octaves 6]
+       [--relax 0.7,0.9,1.1,1.3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpgpuraytrace_tpu.models.scene import RenderConfig, default_scene
+from gpgpuraytrace_tpu.kernels.trace import _render_pallas_raw
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def render_th(scene, cfg):
+    return _render_pallas_raw(scene, cfg)
+
+
+def time_forward(scene, cfg, K=16):
+    @jax.jit
+    def run(salt, n):
+        def body(i, acc):
+            s = dataclasses.replace(scene, noise=dataclasses.replace(
+                scene.noise,
+                height_offset=scene.noise.height_offset
+                + (salt + i.astype(jnp.float32)) * 1e-6))
+            _, t, _ = _render_pallas_raw(s, cfg)
+            return acc + t.sum()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(run(jnp.float32(900.0), 1))
+
+    def timed(n, salt):
+        t0 = time.perf_counter()
+        float(run(jnp.float32(salt), n))
+        return time.perf_counter() - t0
+
+    # Process-unique fractional salt base (replay-cache hazard + the
+    # perturbation must stay ~1e-4 scale; see bench.py).
+    base = ((os.getpid() * 7919 + int(time.time() * 1e3)) % 997) / 997.0
+    timed(K, base + 800.0)
+    t_k = min(timed(K, base + 100.0 * r) for r in range(1, 4))
+    t_1 = min(timed(1, base + 100.0 * r + 50.0) for r in range(1, 4))
+    return (t_k - t_1) / (K - 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--octaves", type=int, default=6)
+    ap.add_argument("--relax", type=str, default="0.7,0.8,0.9,1.0,1.2")
+    args = ap.parse_args()
+    n = args.size
+    scene = default_scene(num_octaves=args.octaves)
+    base = dict(height=n, width=n, max_steps=128, num_octaves=args.octaves,
+                use_pallas=True, tile_h=16)
+
+    # Dense ground truth: 1024 fixed steps, conservative relax, no floor —
+    # the same oracle the step_floor_t calibration used (BASELINE.md).
+    gt_cfg = RenderConfig(**base | {"max_steps": 1024}, march_mode="fixed",
+                          step_relax=0.35, step_floor_t=0.0)
+    _, t_gt, hit_gt = render_th(scene, gt_cfg)
+    hit_gt = np.asarray(hit_gt)
+    t_gt = np.asarray(t_gt)
+
+    for relax in [float(r) for r in args.relax.split(",") if r]:
+        cfg = RenderConfig(**base, step_relax=relax)
+        try:
+            _, t, hit = render_th(scene, cfg)
+            hit = np.asarray(hit)
+            t = np.asarray(t)
+            holes = int((hit_gt & ~hit).sum())       # GT hit, variant missed
+            false_hits = int((~hit_gt & hit).sum())  # variant hit, GT missed
+            both = hit_gt & hit
+            t_err = float(np.abs(t - t_gt)[both].max()) if both.any() else 0.0
+            sec = time_forward(scene, cfg)
+            print(json.dumps({
+                "relax": relax,
+                "mrays_per_sec": round(n * n / sec / 1e6, 1),
+                "ms_per_frame": round(sec * 1e3, 3),
+                "holes_px": holes,
+                "false_hit_px": false_hits,
+                "max_t_err_on_hits": round(t_err, 5),
+                "hit_rate": round(float(hit.mean()), 4),
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"relax": relax,
+                              "error": f"{type(e).__name__}: {str(e)[:120]}"}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
