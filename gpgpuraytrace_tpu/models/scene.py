@@ -107,7 +107,15 @@ class RenderConfig:
     t_min: float = 0.05
     t_max: float = 200.0
     hit_eps: float = 1e-3  # hit when f(p) < hit_eps * t (screen-space scaled)
-    step_relax: float = 0.7  # conservative step factor (heightfield != SDF)
+    step_relax: float = 1.0  # march step factor: step = relax·f. The
+    # heightfield is not an SDF, so any relax can overstep — but an
+    # overstep lands inside the surface (f<0) where the bracketed Newton
+    # polish recovers the exact root, so the march tolerates relax ≈ 1.
+    # Measured (round 4, scripts/relax_sweep.py, 512²/6 oct vs a 1024-step
+    # dense oracle): 0.7 → 1.0 is +24% forward rays/s with image error
+    # statistically identical to 0.7 (0.12% vs 0.13% of pixels off by
+    # >0.05, zero silhouette dilation); 1.1 starts degrading (3.7× more
+    # off pixels), 1.2 is +41% at 12×. Frozen goldens pin 0.7 explicitly.
     num_octaves: int = 6
     use_pallas: bool = True  # fused Pallas kernel vs pure-XLA path
     pallas_bwd: bool = True  # fused Pallas backward kernel vs XLA re-shade

@@ -24,11 +24,12 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
 def main():
     os.makedirs(OUT, exist_ok=True)
-    # Pins step_floor_t=0 (classic strict march) — keep in sync with
-    # tests/test_render.py CFG1 so the frozen golden is march-tuning-stable.
+    # Pins step_floor_t=0 and step_relax=0.7 (classic strict march) — keep
+    # in sync with tests/test_render.py CFG1 so the frozen golden is
+    # march-tuning-stable.
     cfg = RenderConfig(
         height=128, width=128, max_steps=96, num_octaves=1, use_pallas=False,
-        step_floor_t=0.0,
+        step_floor_t=0.0, step_relax=0.7,
     )
     img = np.asarray(render_jax(default_scene(num_octaves=1), cfg))
     np.save(os.path.join(OUT, "config1_128.npy"), img)
