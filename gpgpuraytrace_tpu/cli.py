@@ -42,8 +42,13 @@ def _cfg_from_args(args) -> "RenderConfig":
         num_octaves=args.octaves,
         use_pallas=args.pallas if args.pallas is not None else on_tpu,
         volumetric=volumetric,
-        # A 3D-warped field is not a height bound; step conservatively.
-        step_relax=0.4 if volumetric else 0.7,
+        # The 3D-warped field is rougher along rays than the heightfield, so
+        # it gets a slightly more conservative relax than the 1.0 default.
+        # Round-4 sweep (relax_sweep --volumetric vs a 1024-step oracle):
+        # the old 0.4 was SLOWER AND WORSE (578 oracle holes — small steps
+        # exhaust the 128-step budget on grazing rays); 0.9 has the best
+        # quality of the whole sweep at +44% speed; 1.0 degrades 5.5×.
+        step_relax=0.9 if volumetric else 1.0,
         supersample=getattr(args, "supersample", 1),
     )
 

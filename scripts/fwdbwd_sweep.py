@@ -98,7 +98,7 @@ def main():
         height=n, width=n, max_steps=128, num_octaves=args.octaves,
         use_pallas=True,
     )
-    vol = {**base, "volumetric": True, "step_relax": 0.4}
+    vol = {**base, "volumetric": True, "step_relax": 0.9}  # round-4 default
     all_variants = {
         # Heightfield anchor: the headline config, for same-session context.
         "hf_tile16": RenderConfig(**base, tile_h=16),

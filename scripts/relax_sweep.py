@@ -87,16 +87,19 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--octaves", type=int, default=6)
     ap.add_argument("--relax", type=str, default="0.7,0.8,0.9,1.0,1.2")
+    ap.add_argument("--volumetric", action="store_true")
     args = ap.parse_args()
     n = args.size
-    scene = default_scene(num_octaves=args.octaves)
+    scene = default_scene(num_octaves=args.octaves,
+                          volumetric=args.volumetric)
     base = dict(height=n, width=n, max_steps=128, num_octaves=args.octaves,
-                use_pallas=True, tile_h=16)
+                use_pallas=True, tile_h=16, volumetric=args.volumetric)
 
     # Dense ground truth: 1024 fixed steps, conservative relax, no floor —
     # the same oracle the step_floor_t calibration used (BASELINE.md).
     gt_cfg = RenderConfig(**base | {"max_steps": 1024}, march_mode="fixed",
-                          step_relax=0.35, step_floor_t=0.0)
+                          step_relax=0.2 if args.volumetric else 0.35,
+                          step_floor_t=0.0)
     img_gt, t_gt, hit_gt = render_th(scene, gt_cfg)
     hit_gt = np.asarray(hit_gt)
     t_gt = np.asarray(t_gt)

@@ -58,7 +58,7 @@ def check(volumetric: bool, size: int, octaves: int) -> None:
         num_octaves=octaves,
         use_pallas=True,
         volumetric=volumetric,
-        step_relax=0.4 if volumetric else 0.7,
+        step_relax=0.9 if volumetric else 1.0,  # round-4 defaults (see cli)
     )
     scene = default_scene(num_octaves=octaves, volumetric=volumetric)
     leaves, merge = partition_scene(scene, trainable=lambda name: True)
