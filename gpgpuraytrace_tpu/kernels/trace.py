@@ -62,7 +62,6 @@ TILE_W = 128
 CHUNK = MARCH_CHUNK_DEFAULT
 
 
-_NEWTON_ITERS = 4
 _DENOM_EPS = 1e-4
 _BWD_DENOM_MIN = 1e-2  # keep in sync with ops/march.py
 _RESIDUAL_SLACK = 2.0  # keep in sync with ops/march.py
@@ -453,7 +452,7 @@ def _tile_trace(sc, seed, cfg: RenderConfig, o, d, t0, active0, budget,
     x = jnp.where(hit & safe0, jnp.maximum(x0r, cfg.t_min), t)
 
     x, _, _ = jax.lax.fori_loop(
-        0, _NEWTON_ITERS - 1, lambda _, s: refine_once(*s), (x, lo, hi)
+        0, cfg.newton_iters - 1, lambda _, s: refine_once(*s), (x, lo, hi)
     )
     t = jnp.where(hit, x, t)
 

@@ -136,6 +136,15 @@ class RenderConfig:
     # 16 measured best on terrain v2 at 512² (fwd 99.0 vs 93.4 Mrays/s at 8,
     # fwd+bwd 87.0 vs 84.3; 32 regresses — divergence tax outgrows the grid
     # amortization). Partial edge tiles are padded (bwd masks them).
+    newton_iters: int = 3  # bracketed-Newton polish iterations at hits.
+    # Each inlines a full gradient field evaluation — at the relax-1.0
+    # march's ~13 value-only steps/ray the polish+shade gradient evals are
+    # ~30% of kernel ops, so this knob matters. Round-4 sweep vs the dense
+    # oracle (scripts/relax_sweep.py --newton, 512²/6 oct): 3 is
+    # quality-identical to 4 on every metric (off-px 355 vs 346 of 262k,
+    # mean err 2.6e-4 vs 2.5e-4) at +3.7% fwd; 6 gains nothing over 4
+    # (converged); 2 is +15% with a modestly looser hit-t tail
+    # (t-err>0.05 pixels +27%, image metrics unchanged) — a preview knob.
     compact_budget: int = 32  # march_mode="compact" phase-1 step budget:
     # every ray marches up to this many steps in screen tiles; rays still
     # marching are then compacted into dense tiles for phase 2 (the

@@ -35,7 +35,6 @@ import jax.numpy as jnp
 from gpgpuraytrace_tpu.models.scene import NoiseParams, RenderConfig
 from gpgpuraytrace_tpu.ops.field import envelope_height, field, field_and_grad
 
-_NEWTON_ITERS = 4
 _DENOM_EPS = 1e-4
 # Backward-pass conditioning: at a legitimate hit the ray crosses the surface
 # from above, so ∇f·d < 0. As |∇f·d| → 0 (grazing / silhouette rays) the
@@ -121,7 +120,7 @@ def _march_loop(
     lo = prev_t
     hi = jnp.full_like(t, cfg.t_max)
     x = t
-    for k in range(_NEWTON_ITERS):
+    for k in range(cfg.newton_iters):
         p = ray_o + x[..., None] * ray_d
         f, grad = field_and_grad(p, noise, cfg.volumetric, cfg.warp_octaves)
         denom = jnp.sum(grad * ray_d, axis=-1)

@@ -29,7 +29,7 @@ def main():
     # march-tuning-stable.
     cfg = RenderConfig(
         height=128, width=128, max_steps=96, num_octaves=1, use_pallas=False,
-        step_floor_t=0.0, step_relax=0.7,
+        step_floor_t=0.0, step_relax=0.7, newton_iters=4,
     )
     img = np.asarray(render_jax(default_scene(num_octaves=1), cfg))
     np.save(os.path.join(OUT, "config1_128.npy"), img)

@@ -87,6 +87,9 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--octaves", type=int, default=6)
     ap.add_argument("--relax", type=str, default="0.7,0.8,0.9,1.0,1.2")
+    ap.add_argument("--newton", type=str, default="",
+                    help="sweep newton_iters at the FIRST --relax value "
+                    "instead of sweeping relax")
     ap.add_argument("--volumetric", action="store_true")
     args = ap.parse_args()
     n = args.size
@@ -105,8 +108,14 @@ def main():
     t_gt = np.asarray(t_gt)
     img_gt = np.asarray(img_gt)
 
-    for relax in [float(r) for r in args.relax.split(",") if r]:
-        cfg = RenderConfig(**base, step_relax=relax)
+    relaxes = [float(r) for r in args.relax.split(",") if r]
+    if args.newton:
+        combos = [(relaxes[0], int(k)) for k in args.newton.split(",") if k]
+    else:
+        combos = [(r, None) for r in relaxes]
+    for relax, newton in combos:
+        kw = {} if newton is None else {"newton_iters": newton}
+        cfg = RenderConfig(**base, step_relax=relax, **kw)
         try:
             img, t, hit = render_th(scene, cfg)
             hit = np.asarray(hit)
@@ -120,6 +129,7 @@ def main():
             sec = time_forward(scene, cfg)
             print(json.dumps({
                 "relax": relax,
+                **({} if newton is None else {"newton_iters": newton}),
                 "mrays_per_sec": round(n * n / sec / 1e6, 1),
                 "ms_per_frame": round(sec * 1e3, 3),
                 "holes_px": holes,

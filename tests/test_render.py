@@ -19,7 +19,7 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "config1_128.npy")
 # defaults are covered by the variant tests in test_pallas.py.
 CFG1 = RenderConfig(
     height=128, width=128, max_steps=96, num_octaves=1, use_pallas=False,
-    step_floor_t=0.0, step_relax=0.7,
+    step_floor_t=0.0, step_relax=0.7, newton_iters=4,
 )
 
 
