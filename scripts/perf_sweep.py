@@ -22,7 +22,14 @@ from gpgpuraytrace_tpu.models.scene import RenderConfig, default_scene
 from gpgpuraytrace_tpu.ops.render import render
 
 
-def time_cfg(cfg: RenderConfig, K: int = 12) -> dict:
+def time_cfg(cfg: RenderConfig, K: int = 40) -> dict:
+    """40→80-frame wall-ladder differencing (round 4): at ~2 ms/frame the
+    old K=12 (T(K)-T(1))/(K-1) slope has a ~24 ms signal against ±10 ms
+    tunnel-RTT variance — the same failure mode that made the first relax
+    sweep read +400% (BASELINE.md "Timing discipline"). The ladder's
+    endpoints carry identical dispatch cost and the signal is K·frame.
+    Salts carry a process-unique fractional base (cross-process replay
+    trap, ibid.)."""
     scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
 
     def make_run(k):
@@ -42,14 +49,16 @@ def time_cfg(cfg: RenderConfig, K: int = 12) -> dict:
 
         return run
 
-    def salts(k, base):
-        return jnp.arange(k, dtype=jnp.float32) * 1e-6 + base * 1e-7
+    pbase = ((os.getpid() * 7919 + int(time.time() * 1e3)) % 997) / 997.0
 
-    run_k, run_1 = make_run(K), make_run(1)
+    def salts(k, base):
+        return jnp.arange(k, dtype=jnp.float32) * 1e-6 + (base + pbase) * 1e-7
+
+    run_k, run_2k = make_run(K), make_run(2 * K)
     t0 = time.perf_counter()
-    jax.block_until_ready(run_1(salts(1, 1)))
+    jax.block_until_ready(run_k(salts(K, 1)))
     compile_s = time.perf_counter() - t0
-    jax.block_until_ready(run_k(salts(K, 2)))
+    jax.block_until_ready(run_2k(salts(2 * K, 2)))
 
     def timed(fn, k, base):
         s = salts(k, base)
@@ -57,14 +66,14 @@ def time_cfg(cfg: RenderConfig, K: int = 12) -> dict:
         # Sync by fetching the scalar VALUE: through the axon tunnel,
         # block_until_ready on a persistent-cache-loaded executable's result
         # can return without waiting; the fetch RTT is constant and cancels
-        # in the T(K) - T(1) differencing.
+        # in the ladder differencing.
         t0 = time.perf_counter()
         float(fn(s))
         return time.perf_counter() - t0
 
-    t_k = min(timed(run_k, K, 3 + r) for r in range(3))
-    t_1 = min(timed(run_1, 1, 30 + r) for r in range(3))
-    sec = max(t_k - t_1, 1e-9) / (K - 1)
+    t_k = min(timed(run_k, K, 3 + r) for r in range(2))
+    t_2k = min(timed(run_2k, 2 * K, 30 + r) for r in range(2))
+    sec = max(t_2k - t_k, 1e-9) / K
     return {
         "ms_per_frame": round(sec * 1e3, 3),
         "mrays_per_sec": round(cfg.height * cfg.width / sec / 1e6, 1),
