@@ -188,13 +188,15 @@ def _amp_fit_from_trap_start(rotation_fn=None, steps=80):
     if rotation_fn is not None:
         noise_mod.octave_rotation = rotation_fn
     try:
-        # step_relax pinned to 0.7: the trap claim was established at the
-        # round-3 march default, and the landscape is march-config-dependent
-        # (at relax=1.0 the identity-rotation trap vanishes in this toy —
-        # measured round 4: identity err 0.0006 vs 0.082 at 0.7). Pinning
-        # isolates the variable this test guards: the NOISE design.
+        # March config pinned to the round-3 regime (step_relax=0.7,
+        # newton_iters=4): the trap claim was established there, and the
+        # landscape is march-config-dependent (at relax=1.0 the identity-
+        # rotation trap vanishes in this toy — measured round 4: identity
+        # err 0.0006 vs 0.082 at 0.7). Pinning isolates the variable this
+        # test guards: the NOISE design.
         cfg = RenderConfig(height=96, width=96, max_steps=48,
-                           num_octaves=2, use_pallas=False, step_relax=0.7)
+                           num_octaves=2, use_pallas=False, step_relax=0.7,
+                           newton_iters=4)
         scene = default_scene(num_octaves=2)
         target = render(scene, cfg)
         scene0 = dataclasses.replace(
