@@ -123,6 +123,10 @@ def run(leaves, n, salt):
 
 K = max(iters, 4)
 aot_status = None
+# t0 BEFORE the optional AOT block: with BENCH_AOT=1 on a cold cache,
+# load_or_compile pays the real lower+compile, and compile_s must record
+# it rather than mis-attribute it to a warm restore (matches cli.py).
+t0 = time.perf_counter()
 if os.environ.get("BENCH_AOT") == "1":
     # Opt-in AOT executable cache (VERDICT r3 item 8): restore the whole
     # compiled bench program from disk, skipping lowering + compile.
@@ -133,7 +137,6 @@ if os.environ.get("BENCH_AOT") == "1":
         cache_dir=os.path.join(os.getcwd(), ".jax_cache"),  # children cwd=repo
     )
     run = lambda l, n, s: compiled(l, jnp.int32(n), jnp.float32(s))
-t0 = time.perf_counter()
 # Sync by fetching the scalar VALUE, not block_until_ready: through the
 # axon tunnel, block_until_ready on the result of a persistent-cache-loaded
 # executable can return without waiting (measured: 0.2 ms reported for
@@ -147,17 +150,10 @@ def timed(n, salt):
     float(run(leaves, n, jnp.float32(salt)))
     return time.perf_counter() - t0
 
-# Salt base unique PER PROCESS: the tunnel's content-addressed cache spans
-# processes, so two children using the same fixed salt schedule issue
-# bit-identical (executable, args) pairs and the later one REPLAYS the
-# earlier one's executions (measured round 4: the third best-of-N child
-# read 604 Mrays/s — pure cache). The base must stay SMALL: it feeds the
-# 1e-6-scaled leaf perturbation, and an O(1e6) base perturbs the scene by
-# O(1) — measured to change the march work by 30-40% (a fake "speedup").
-# A fraction on a ~1e-3 grid keeps the perturbation at the original 1e-4
-# scale, is exactly representable in f32 next to the 100-900 schedule
-# (resolution 6e-5 at 800), and gives ~997 distinct per-process streams.
-base = ((os.getpid() * 7919 + int(time.time() * 1e3)) % 997) / 997.0
+# Salt base unique PER PROCESS (replay-cache + perturbation-scale traps —
+# see utils/timing.py and BASELINE.md "Timing discipline").
+from gpgpuraytrace_tpu.utils.timing import process_salt_base
+base = process_salt_base()
 timed(K, base + 800.0)  # warm the K-step path
 t_k = min(timed(K, base + 100.0 * r) for r in range(1, 4))
 t_1 = min(timed(1, base + 100.0 * r + 50.0) for r in range(1, 4))
@@ -247,10 +243,9 @@ for n in n_list:
         float(run(leaves, target, nsteps, jnp.float32(salt)))
         return time.perf_counter() - t0
 
-    # Process-unique fractional salt base: identical cross-process salt
-    # schedules replay from the tunnel cache, and the base must stay small
-    # so the 1e-6-scaled perturbation stays ~1e-4 (see the headline child).
-    base = ((os.getpid() * 7919 + int(time.time() * 1e3)) % 997) / 997.0
+    # Process-unique fractional salt base (see the headline child).
+    from gpgpuraytrace_tpu.utils.timing import process_salt_base
+    base = process_salt_base()
     timed(K, base + 800.0)
     t_k = min(timed(K, base + 100.0 * r) for r in range(1, 4))
     t_1 = min(timed(1, base + 100.0 * r + 50.0) for r in range(1, 4))

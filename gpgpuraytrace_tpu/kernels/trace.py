@@ -333,6 +333,31 @@ def _shade_from_grads(sc, cfg: RenderConfig, t, hit, d, grads):
     return tuple(out)
 
 
+def _envelope_entry(sc, cfg: RenderConfig, dy, tile_h: int):
+    """Sky-envelope-skip march entry state (shared by the one-pass and the
+    compaction phase-1 kernels): rays starting above the certified bound
+    fast-forward to it analytically (or miss immediately if heading up).
+    This attacks the whole-tile divergence tax: sky lanes no longer crawl
+    for dozens of steps while terrain lanes finish, so the tile's max step
+    count — which every lane pays on a SIMD machine — drops.
+    Masks are f32 0/1, not bool: Mosaic cannot carry i1 vectors through
+    scf.while (fails to legalize scf.yield), and f32 masks multiply
+    straight into the update arithmetic anyway.
+    Returns (t0, active0, env, oy)."""
+    env = _envelope(sc, cfg)
+    oy = sc(pk.POS + 1)
+    t_enter = (env - oy) / jnp.where(dy < 0.0, dy, 1.0)
+    above = oy > env  # traced scalar, broadcasts
+    t0 = jnp.where(
+        above & (dy < 0.0),
+        jnp.clip(t_enter, cfg.t_min, cfg.t_max),
+        jnp.full((tile_h, TILE_W), cfg.t_min, jnp.float32),
+    )
+    t0 = jnp.where(above & (dy >= 0.0), cfg.t_max, t0)
+    active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
+    return t0, active0, env, oy
+
+
 def _envelope(sc, cfg: RenderConfig):
     """Certified terrain upper bound: every noise octave is in [-1,1], so no
     surface exists above ``env`` (plus the volumetric warp tail)."""
@@ -493,28 +518,8 @@ def _trace_kernel(
         return prm[0, k]
 
     o, d = _raygen(sc, cfg, TILE_H, i, j)
-    dx, dy, dz = d
-    env = _envelope(sc, cfg)
-    oy = sc(pk.POS + 1)
-
-    # Sky-envelope skip (mirrors ops/march.py): rays starting above the
-    # certified bound fast-forward to it analytically (or miss immediately if
-    # heading up); rays that climb above it mid-march escape to t_max. This
-    # attacks the whole-tile divergence tax: sky lanes no longer crawl for
-    # dozens of steps while terrain lanes finish, so the tile's max step
-    # count — which every lane pays on a SIMD machine — drops.
-    # Masks are f32 0/1, not bool: Mosaic cannot carry i1 vectors through
-    # scf.while (fails to legalize scf.yield), and f32 masks multiply
-    # straight into the update arithmetic anyway.
-    t_enter = (env - oy) / jnp.where(dy < 0.0, dy, 1.0)
-    above = oy > env  # traced scalar, broadcasts
-    t0 = jnp.where(
-        above & (dy < 0.0),
-        jnp.clip(t_enter, cfg.t_min, cfg.t_max),
-        jnp.full((TILE_H, TILE_W), cfg.t_min, jnp.float32),
-    )
-    t0 = jnp.where(above & (dy >= 0.0), cfg.t_max, t0)
-    active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
+    dy = d[1]
+    t0, active0, env, oy = _envelope_entry(sc, cfg, dy, TILE_H)
     chunk = getattr(cfg, "march_chunk", CHUNK) or CHUNK
     num_chunks = pl.cdiv(cfg.max_steps, chunk)
 
@@ -593,18 +598,7 @@ def _trace_phase1_kernel(
         return prm_ref[0, k]
 
     o, d = _raygen(sc, cfg, TILE_H, i, j)
-    dy = d[1]
-    env = _envelope(sc, cfg)
-    oy = sc(pk.POS + 1)
-    t_enter = (env - oy) / jnp.where(dy < 0.0, dy, 1.0)
-    above = oy > env
-    t0 = jnp.where(
-        above & (dy < 0.0),
-        jnp.clip(t_enter, cfg.t_min, cfg.t_max),
-        jnp.full((TILE_H, TILE_W), cfg.t_min, jnp.float32),
-    )
-    t0 = jnp.where(above & (dy >= 0.0), cfg.t_max, t0)
-    active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
+    t0, active0, _, _ = _envelope_entry(sc, cfg, d[1], TILE_H)
 
     (c0, c1, c2), t, hitf, alive, prev = _tile_trace(
         sc, seed, cfg, o, d, t0, active0, cfg.compact_budget

@@ -14,9 +14,15 @@ the dynamic-argument tree structure/shapes/dtypes. Anything that changes
 the compiled program must be in the key; scene VALUES are runtime arguments
 and deliberately are not.
 
-Failure policy: best-effort. Any error (stale format after a jax upgrade,
-different device, corrupt file) falls back to the normal jit path and
-repopulates the cache — the flag can never break a render.
+Failure policy: best-effort for every failure Python can observe (stale
+format after a jax upgrade, different device, corrupt file): those fall
+back to the normal jit path and repopulate the cache. One caveat the
+try/except CANNOT catch: an XLA:CPU executable is compiled for the build
+host's exact ISA feature set, and running it on a host with fewer
+features is a SIGILL, not an exception — so on the cpu backend the cache
+key also hashes /proc/cpuinfo's feature flags (falling back to
+platform.machine()), making a foreign-host restore a key miss instead of
+a crash.
 """
 
 from __future__ import annotations
@@ -24,8 +30,22 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import platform
 
 import jax
+
+
+def _cpu_features() -> str:
+    """Host ISA fingerprint for the cpu backend's cache key (see module
+    docstring — a feature mismatch would SIGILL past any except block)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return platform.machine()
 
 
 def _cache_key(static_desc: str, args) -> str:
@@ -33,10 +53,12 @@ def _cache_key(static_desc: str, args) -> str:
     shapes = [(jax.numpy.asarray(x).shape, str(jax.numpy.asarray(x).dtype))
               for x in leaves]
     dev = jax.devices()[0]
+    backend = jax.default_backend()
     raw = "|".join([
         jax.__version__,
-        jax.default_backend(),
+        backend,
         getattr(dev, "device_kind", str(dev)),
+        _cpu_features() if backend == "cpu" else "",
         static_desc,
         str(treedef),
         str(shapes),

@@ -70,10 +70,10 @@ def time_fwd_bwd(cfg: RenderConfig, K: int = 40) -> dict:
         float(run(leaves, n, jnp.float32(salt)))
         return time.perf_counter() - t0
 
-    # Process-unique FRACTIONAL salt base: identical cross-process salt
-    # schedules replay from the tunnel cache; the base must stay small so
-    # the 1e-6-scaled leaf perturbation stays ~1e-4 (bench.py, round 4).
-    base = ((os.getpid() * 7919 + int(time.time() * 1e3)) % 997) / 997.0
+    # Process-unique fractional salt base (replay-cache + perturbation-
+    # scale traps; utils/timing.py).
+    from gpgpuraytrace_tpu.utils.timing import process_salt_base
+    base = process_salt_base()
     timed(K, base + 800.0)  # warm
     t_k = min(timed(K, base + 100.0 * r) for r in range(1, 4))
     t_1 = min(timed(1, base + 100.0 * r + 50.0) for r in range(1, 4))

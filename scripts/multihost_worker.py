@@ -123,8 +123,20 @@ def _timed_step(mesh, K: int) -> None:
     # Salt base: must be IDENTICAL across the SPMD processes of one job
     # (divergent args under collectives would be garbage), unique across
     # jobs (identical schedules replay from the tunnel cache — bench.py).
-    # The launcher computes it once and passes it via WORKER_SALT_BASE.
-    base = float(os.environ.get("WORKER_SALT_BASE", "0"))
+    # The launcher computes it once and passes it via WORKER_SALT_BASE;
+    # direct pod invocation falls back to a job-wide derivation from the
+    # coordinator address + a coarse time bucket (NOT pid — that differs
+    # per process) so two identically-launched jobs still get distinct
+    # schedules instead of silently replaying each other.
+    env_base = os.environ.get("WORKER_SALT_BASE")
+    if env_base is not None:
+        base = float(env_base)
+    else:
+        from gpgpuraytrace_tpu.utils.timing import job_salt_base
+
+        base = job_salt_base(
+            os.environ.get("JAX_COORDINATOR_ADDRESS", "local")
+        )
     t_k = min(timed(K, base + 100.0 * r) for r in range(1, 3))
     t_1 = min(timed(1, base + 100.0 * r + 50.0) for r in range(1, 3))
     sec = max(t_k - t_1, 1e-9) / (K - 1)

@@ -26,6 +26,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gpgpuraytrace_tpu.parallel.launch import launch_local_processes
+from gpgpuraytrace_tpu.utils.timing import process_salt_base
 
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "multihost_worker.py")
@@ -51,12 +52,8 @@ def main():
             "XLA_FLAGS": "",
             "JAX_PLATFORMS": "cpu",
             # One small fractional salt base per job, shared by all its
-            # SPMD processes (see multihost_worker._timed_step; the base
-            # feeds a 1e-6-scaled perturbation and must stay ~1e-3).
-            "WORKER_SALT_BASE": str(
-                ((os.getpid() * 7919
-                  + int(__import__("time").time() * 1e3)) % 997) / 997.0
-            ),
+            # SPMD processes (see multihost_worker._timed_step).
+            "WORKER_SALT_BASE": str(process_salt_base()),
             "WORKER_TIME_K": str(args.k),
             "WORKER_TIME_H": str(args.size),
             "WORKER_TIME_W": str(args.size),

@@ -49,7 +49,8 @@ def time_cfg(cfg: RenderConfig, K: int = 40) -> dict:
 
         return run
 
-    pbase = ((os.getpid() * 7919 + int(time.time() * 1e3)) % 997) / 997.0
+    from gpgpuraytrace_tpu.utils.timing import process_salt_base
+    pbase = process_salt_base()
 
     def salts(k, base):
         return jnp.arange(k, dtype=jnp.float32) * 1e-6 + (base + pbase) * 1e-7

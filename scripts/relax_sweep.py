@@ -73,9 +73,10 @@ def time_forward(scene, cfg):
         float(run(jnp.float32(salt), n))
         return time.perf_counter() - t0
 
-    # Process-unique fractional salt base (replay-cache hazard + the
-    # perturbation must stay ~1e-4 scale; see bench.py).
-    base = ((os.getpid() * 7919 + int(time.time() * 1e3)) % 997) / 997.0
+    # Process-unique fractional salt base (replay-cache + perturbation-
+    # scale traps; utils/timing.py).
+    from gpgpuraytrace_tpu.utils.timing import process_salt_base
+    base = process_salt_base()
     timed(40, base + 800.0)  # warm
     t_40 = min(timed(40, base + 100.0 * r) for r in range(1, 3))
     t_80 = min(timed(80, base + 100.0 * r + 50.0) for r in range(1, 3))
@@ -135,7 +136,8 @@ def main():
                 "holes_px": holes,
                 "false_hit_px": false_hits,
                 "t_err_gt_0.05_px": int((terr > 0.05).sum()),
-                "t_err_p999": round(float(np.percentile(terr, 99.9)), 4),
+                "t_err_p999": round(float(np.percentile(terr, 99.9)), 4)
+                if terr.size else 0.0,
                 "max_t_err_on_hits": round(float(terr.max()), 3)
                 if terr.size else 0.0,
                 "img_mean_abs_err": round(float(derr.mean()), 6),
