@@ -116,6 +116,10 @@ class RenderConfig:
     # statistically identical to 0.7 (0.12% vs 0.13% of pixels off by
     # >0.05, zero silhouette dilation); 1.1 starts degrading (3.7× more
     # off pixels), 1.2 is +41% at 12×. Frozen goldens pin 0.7 explicitly.
+    # Scene-dependence (BASELINE.md robustness table): validated across
+    # seeds/cameras of the default terrain family; on much rougher terrain
+    # (slow amplitude decay × large height_scale) every relax skips ridges
+    # and 1.0 amplifies it — lower this knob (and raise max_steps) there.
     num_octaves: int = 6
     use_pallas: bool = True  # fused Pallas kernel vs pure-XLA path
     pallas_bwd: bool = True  # fused Pallas backward kernel vs XLA re-shade

@@ -146,8 +146,9 @@ def test_pallas_bwd_kernel_full_scene_grads(scene):
         {"march_mode": "compact", "compact_budget": 16},
         {"march_eps_scale": 4.0},
         {"step_floor_t": 0.0},
+        {"step_relax": 0.7, "newton_iters": 4},  # the round-3 march regime
     ],
-    ids=["lod", "compact", "loose_eps", "classic_no_floor"],
+    ids=["lod", "compact", "loose_eps", "classic_no_floor", "relax07"],
 )
 def test_march_variants_match_baseline(scene, pallas_out, kw):
     """March variants (coarse-to-fine LOD; the classic strict-epsilon march)
