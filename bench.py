@@ -131,9 +131,12 @@ if os.environ.get("BENCH_AOT") == "1":
     # Opt-in AOT executable cache (VERDICT r3 item 8): restore the whole
     # compiled bench program from disk, skipping lowering + compile.
     from gpgpuraytrace_tpu.utils.aot import load_or_compile
+    # The static_desc is the full config repr (ADVICE r4: the old
+    # pallas/size/octaves triple would collide two variants differing only
+    # in march fields like max_steps or step_relax).
     compiled, aot_status = load_or_compile(
         run, (leaves, jnp.int32(1), jnp.float32(0.0)),
-        static_desc=f"bench:{use_pallas}:{w}x{h}x{octaves}",
+        static_desc=f"bench:{cfg!r}",
         cache_dir=os.path.join(os.getcwd(), ".jax_cache"),  # children cwd=repo
     )
     run = lambda l, n, s: compiled(l, jnp.int32(n), jnp.float32(s))
@@ -187,6 +190,9 @@ print(json.dumps({
     "hit_rate": s["hit_rate"],
     "steps_mean": s["steps_mean"],
     "steps_p99": s["steps_p99"],
+    # Silent-failure observability (VERDICT r4 weak #3): rays still active
+    # at max_steps render as sky with no other signal.
+    "exhausted_lanes": s["exhausted_lanes"],
     "histogram": s["histogram"],
 }))
 """

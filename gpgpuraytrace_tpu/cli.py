@@ -42,13 +42,9 @@ def _cfg_from_args(args) -> "RenderConfig":
         num_octaves=args.octaves,
         use_pallas=args.pallas if args.pallas is not None else on_tpu,
         volumetric=volumetric,
-        # The 3D-warped field is rougher along rays than the heightfield, so
-        # it gets a slightly more conservative relax than the 1.0 default.
-        # Round-4 sweep (relax_sweep --volumetric vs a 1024-step oracle):
-        # the old 0.4 was SLOWER AND WORSE (578 oracle holes — small steps
-        # exhaust the 128-step budget on grazing rays); 0.9 has the best
-        # quality of the whole sweep at +44% speed; 1.0 degrades 5.5×.
-        step_relax=0.9 if volumetric else 1.0,
+        # step_relax stays at its None default: RenderConfig resolves the
+        # measured per-mode value (1.0 heightfield / 0.9 volumetric) itself,
+        # so every construction path — CLI, library, scripts — agrees.
         supersample=getattr(args, "supersample", 1),
     )
 
@@ -63,6 +59,9 @@ def cmd_render(args):
 
     cfg = _cfg_from_args(args)
     scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
+    from gpgpuraytrace_tpu.utils.profiling import warn_if_rough
+
+    warn_if_rough(scene, cfg)
     t0 = time.perf_counter()
     aot_status = None
     if getattr(args, "aot_cache", False):
@@ -160,6 +159,9 @@ def cmd_fly(args):
 
     cfg = _cfg_from_args(args)
     scene = default_scene(num_octaves=cfg.num_octaves, volumetric=cfg.volumetric)
+    from gpgpuraytrace_tpu.utils.profiling import warn_if_rough
+
+    warn_if_rough(scene, cfg)
     # Live tweak variables (the reference's WPF tweak-UI role): edit the
     # watched JSON while the loop runs; params are traced args, so updates
     # apply on the next frame batch with zero recompilation.
@@ -172,6 +174,7 @@ def cmd_fly(args):
         if tweaks is None:
             return s
         s, rejected = apply_tweaks(s, tweaks)
+        warn_if_rough(s, cfg)  # live edits can push the scene rough
         applied = [k for k in tweaks if k not in rejected]
         if applied:
             print(f"tweaks applied: {', '.join(applied)}")

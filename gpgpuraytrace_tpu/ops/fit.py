@@ -164,7 +164,12 @@ def fit(
     uninterrupted run, asserted in tests/test_fit.py).
     """
     from gpgpuraytrace_tpu.utils.checkpoint import load_fit_state, save_fit_state
+    from gpgpuraytrace_tpu.utils.profiling import warn_if_rough
 
+    # Scene-roughness guard (VERDICT r4 weak #3): warn once, host-side, if
+    # the starting scene is in the regime where the march silently skips
+    # ridges — a fit target rendered there would be quietly wrong.
+    warn_if_rough(scene, cfg)
     train_leaves, merge = partition_scene(scene, trainable or default_trainable)
     tx = optax.adam(learning_rate)
     opt_state = tx.init(train_leaves)

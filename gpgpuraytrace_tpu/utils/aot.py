@@ -9,10 +9,13 @@ program (2.6 MB) and a fresh process deserializes + runs it in ~0.1 s,
 bit-identical. This module wires that validated path behind an opt-in flag
 (VERDICT r3 item 8): `cli render --aot-cache` / `BENCH_AOT=1 bench.py`.
 
-Cache key: jax version + backend + device kind + the static config repr +
-the dynamic-argument tree structure/shapes/dtypes. Anything that changes
-the compiled program must be in the key; scene VALUES are runtime arguments
-and deliberately are not.
+Cache key: jax version + backend + device kind + a fingerprint of this
+package's own source (ADVICE r4: without it, editing kernels/trace.py and
+re-running with a warm cache would silently execute the STALE compiled
+kernel — bench numbers and rendered images for code that no longer exists)
++ the static config repr + the dynamic-argument tree
+structure/shapes/dtypes. Anything that changes the compiled program must be
+in the key; scene VALUES are runtime arguments and deliberately are not.
 
 Failure policy: best-effort for every failure Python can observe (stale
 format after a jax upgrade, different device, corrupt file): those fall
@@ -48,6 +51,29 @@ def _cpu_features() -> str:
     return platform.machine()
 
 
+_SOURCE_FINGERPRINT: str | None = None
+
+
+def _source_fingerprint() -> str:
+    """Digest of every tracked source file that can shape a compiled program
+    (the package's .py files). Computed once per process; a source edit
+    makes every AOT entry a key miss instead of a stale-executable hit."""
+    global _SOURCE_FINGERPRINT
+    if _SOURCE_FINGERPRINT is None:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha1()
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+            for name in sorted(filenames):
+                if name.endswith(".py"):
+                    path = os.path.join(dirpath, name)
+                    h.update(os.path.relpath(path, pkg_root).encode())
+                    with open(path, "rb") as f:
+                        h.update(f.read())
+        _SOURCE_FINGERPRINT = h.hexdigest()[:16]
+    return _SOURCE_FINGERPRINT
+
+
 def _cache_key(static_desc: str, args) -> str:
     leaves, treedef = jax.tree_util.tree_flatten(args)
     shapes = [(jax.numpy.asarray(x).shape, str(jax.numpy.asarray(x).dtype))
@@ -59,6 +85,7 @@ def _cache_key(static_desc: str, args) -> str:
         backend,
         getattr(dev, "device_kind", str(dev)),
         _cpu_features() if backend == "cpu" else "",
+        _source_fingerprint(),
         static_desc,
         str(treedef),
         str(shapes),

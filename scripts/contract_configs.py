@@ -95,7 +95,10 @@ def config3(steps: int = 120, size: int = 512, lr: float = 5e-3,
     for _ in range(steps // chunk - 1):
         train_leaves, opt_state, loss = step(train_leaves, opt_state, target)
         loss_chunks.append(loss)
-    float(loss_chunks[-1][-1])  # value-fetch sync on the dependent tail
+    if loss_chunks:  # steps == chunk leaves the timed loop empty (ADVICE r4)
+        float(loss_chunks[-1][-1])  # value-fetch sync on the dependent tail
+    else:
+        float(loss0[-1])
     fit_s = time.perf_counter() - t0
     for c in loss_chunks:
         losses.extend(_np.asarray(c))
