@@ -35,12 +35,16 @@ def _cfg_from_args(args) -> "RenderConfig":
     h, w = _parse_size(args.size)
     on_tpu = jax.default_backend() == "tpu"
     volumetric = getattr(args, "volumetric", False)
+    use_pallas = args.pallas if args.pallas is not None else on_tpu
     return RenderConfig(
         height=h,
         width=w,
         max_steps=args.max_steps,
         num_octaves=args.octaves,
-        use_pallas=args.pallas if args.pallas is not None else on_tpu,
+        use_pallas=use_pallas,
+        # --pallas off-TPU means the interpreter (Mosaic only compiles for
+        # TPU); previously this raised "Only interpret mode is supported".
+        interpret=use_pallas and not on_tpu,
         volumetric=volumetric,
         # step_relax stays at its None default: RenderConfig resolves the
         # measured per-mode value (1.0 heightfield / 0.9 volumetric) itself,

@@ -22,6 +22,28 @@ _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libtpurt_io.so"))
 _lib = None
 _lib_lock = threading.Lock()
 _build_attempted = False
+_ABI_VERSION = 2  # must match tpurt_abi_version() in tpurt_io.cc
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["sh", os.path.join(_NATIVE_DIR, "build.sh")],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _abi_ok(lib) -> bool:
+    try:
+        lib.tpurt_abi_version.restype = ctypes.c_int
+        return lib.tpurt_abi_version() == _ABI_VERSION
+    except AttributeError:  # pre-versioning .so
+        return False
 
 
 def _load():
@@ -29,28 +51,27 @@ def _load():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH) and not _build_attempted:
+        lib = None
+        if os.path.exists(_SO_PATH):
+            lib = ctypes.CDLL(_SO_PATH)
+        if (lib is None or not _abi_ok(lib)) and not _build_attempted:
+            # Missing, or a stale build of an older ABI: rebuild once
+            # (mis-calling changed signatures would corrupt arguments).
             _build_attempted = True
-            try:
-                subprocess.run(
-                    ["sh", os.path.join(_NATIVE_DIR, "build.sh")],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception:
-                return None
-        if not os.path.exists(_SO_PATH):
+            lib = None
+            if _build() and os.path.exists(_SO_PATH):
+                lib = ctypes.CDLL(_SO_PATH)
+        if lib is None or not _abi_ok(lib):
             return None
-        lib = ctypes.CDLL(_SO_PATH)
         lib.tpurt_write_png.argtypes = [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_int,
         ]
         lib.tpurt_write_png.restype = ctypes.c_int
-        lib.tpurt_writer_create.argtypes = [ctypes.c_int]
+        lib.tpurt_writer_create.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.tpurt_writer_create.restype = ctypes.c_void_p
         lib.tpurt_writer_push.argtypes = [
             ctypes.c_void_p,
@@ -71,8 +92,9 @@ def available() -> bool:
     return _load() is not None
 
 
-def write_png_native(path: str, rgb: np.ndarray) -> bool:
-    """Synchronous native PNG write. Returns False if unavailable/failed."""
+def write_png_native(path: str, rgb: np.ndarray, level: int = 6) -> bool:
+    """Synchronous native frame write (PNG at zlib ``level``; raw bytes for
+    a ``.rgb`` path). Returns False if unavailable/failed."""
     lib = _load()
     if lib is None:
         return False
@@ -80,7 +102,7 @@ def write_png_native(path: str, rgb: np.ndarray) -> bool:
     h, w, c = rgb.shape
     assert c == 3
     ptr = rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    return lib.tpurt_write_png(path.encode(), ptr, h, w) == 0
+    return lib.tpurt_write_png(path.encode(), ptr, h, w, level) == 0
 
 
 class AsyncFrameWriter:
@@ -88,12 +110,12 @@ class AsyncFrameWriter:
     threads encode and write. Use as a context manager; exit waits for the
     queue to drain and raises if any frame failed."""
 
-    def __init__(self, num_threads: int = 2):
+    def __init__(self, num_threads: int = 2, level: int = 6):
         lib = _load()
         if lib is None:
             raise RuntimeError("native IO library unavailable")
         self._lib = lib
-        self._handle = lib.tpurt_writer_create(num_threads)
+        self._handle = lib.tpurt_writer_create(num_threads, level)
 
     def push(self, path: str, rgb: np.ndarray) -> None:
         rgb = np.ascontiguousarray(rgb, np.uint8)

@@ -45,8 +45,13 @@ void put_chunk(std::vector<uint8_t>& out, const char tag[4],
   put_be32(out, crc);
 }
 
-bool encode_png(const uint8_t* rgb, int h, int w, std::vector<uint8_t>& out) {
-  // Raw scanlines with filter byte 0.
+bool encode_png(const uint8_t* rgb, int h, int w, std::vector<uint8_t>& out,
+                int level = 6) {
+  // Raw scanlines with filter byte 0. `level` is the zlib effort knob
+  // (VERDICT r4 item 6: level 6 made 1080p flythroughs encode-bound on a
+  // 2-core host — level 1 is ~4x faster deflate at ~15% larger files).
+  if (level < 0) level = 0;
+  if (level > 9) level = 9;
   std::vector<uint8_t> raw(size_t(h) * (size_t(w) * 3 + 1));
   for (int y = 0; y < h; ++y) {
     uint8_t* row = raw.data() + size_t(y) * (size_t(w) * 3 + 1);
@@ -55,7 +60,7 @@ bool encode_png(const uint8_t* rgb, int h, int w, std::vector<uint8_t>& out) {
   }
   uLongf bound = compressBound(uLong(raw.size()));
   std::vector<uint8_t> z(bound);
-  if (compress2(z.data(), &bound, raw.data(), uLong(raw.size()), 6) != Z_OK)
+  if (compress2(z.data(), &bound, raw.data(), uLong(raw.size()), level) != Z_OK)
     return false;
   z.resize(bound);
 
@@ -76,12 +81,33 @@ bool encode_png(const uint8_t* rgb, int h, int w, std::vector<uint8_t>& out) {
   return true;
 }
 
-bool write_file(const char* path, const std::vector<uint8_t>& data) {
+bool write_file(const char* path, const uint8_t* data, size_t len) {
   std::FILE* f = std::fopen(path, "wb");
   if (!f) return false;
-  size_t n = std::fwrite(data.data(), 1, data.size(), f);
+  size_t n = std::fwrite(data, 1, len, f);
   std::fclose(f);
-  return n == data.size();
+  return n == len;
+}
+
+bool write_file(const char* path, const std::vector<uint8_t>& data) {
+  return write_file(path, data.data(), data.size());
+}
+
+bool has_suffix(const std::string& s, const char* suf) {
+  size_t n = std::strlen(suf);
+  return s.size() >= n && s.compare(s.size() - n, n, suf) == 0;
+}
+
+// Raw stream mode (VERDICT r4 item 6): a `.rgb` path skips the encoder
+// entirely — the frame's packed uint8 RGB bytes hit the disk as-is (the
+// caller knows h/w; ffmpeg reads it with `-f rawvideo -pix_fmt rgb24`).
+// Anything not `.png`/`.rgb` still gets a PNG (historic default).
+bool write_frame(const std::string& path, const uint8_t* rgb, int h, int w,
+                 int level, std::vector<uint8_t>& scratch) {
+  if (has_suffix(path, ".rgb"))
+    return write_file(path.c_str(), rgb, size_t(h) * w * 3);
+  if (!encode_png(rgb, h, w, scratch, level)) return false;
+  return write_file(path.c_str(), scratch);
 }
 
 // ---------------- async frame writer ----------------
@@ -100,8 +126,9 @@ struct Writer {
   std::atomic<bool> stop{false};
   std::atomic<int> errors{0};
   std::atomic<int> written{0};
+  int level;
 
-  explicit Writer(int nthreads) {
+  explicit Writer(int nthreads, int enc_level = 6) : level(enc_level) {
     for (int i = 0; i < nthreads; ++i)
       workers.emplace_back([this] { run(); });
   }
@@ -121,8 +148,7 @@ struct Writer {
         queue.pop_front();
       }
       cv.notify_all();
-      if (encode_png(f.rgb.data(), f.h, f.w, png) &&
-          write_file(f.path.c_str(), png))
+      if (write_frame(f.path, f.rgb.data(), f.h, f.w, level, png))
         written.fetch_add(1);
       else
         errors.fetch_add(1);
@@ -160,17 +186,22 @@ struct Writer {
 
 extern "C" {
 
-// Synchronous single-image write. Returns 0 on success.
-int tpurt_write_png(const char* path, const uint8_t* rgb, int h, int w) {
-  std::vector<uint8_t> png;
-  if (!encode_png(rgb, h, w, png)) return 1;
-  return write_file(path, png) ? 0 : 2;
+// ABI version for the ctypes loader: bumped whenever a signature changes so
+// a stale previously-built .so is rebuilt instead of mis-called.
+int tpurt_abi_version() { return 2; }
+
+// Synchronous single-image write. Returns 0 on success. `level` is the
+// zlib effort (0-9); a `.rgb` path writes raw bytes and ignores it.
+int tpurt_write_png(const char* path, const uint8_t* rgb, int h, int w,
+                    int level) {
+  std::vector<uint8_t> scratch;
+  return write_frame(path, rgb, h, w, level, scratch) ? 0 : 1;
 }
 
-// Async writer API.
-void* tpurt_writer_create(int nthreads) {
+// Async writer API. `level` applies to every PNG the writer encodes.
+void* tpurt_writer_create(int nthreads, int level) {
   if (nthreads < 1) nthreads = 1;
-  return new Writer(nthreads);
+  return new Writer(nthreads, level);
 }
 
 void tpurt_writer_push(void* wr, const char* path, const uint8_t* rgb, int h,

@@ -233,3 +233,47 @@ def test_bf16_march_close_to_f32(scene):
     flips = (np.asarray(hit32) != np.asarray(hit16)).mean()
     assert d.mean() < 5e-3, f"bf16 march mean image err {d.mean():.2e}"
     assert flips < 0.01, f"bf16 march flipped {flips:.3%} of hit verdicts"
+
+
+def test_debug_steps_counter(scene, pallas_out):
+    """In-kernel executed-step counter (VERDICT r4 item 4): per tile it must
+    (a) not change the rendered outputs, (b) bound every lane's useful steps
+    from above within one chunk, and (c) read exactly max_steps in fixed
+    mode. This is the counter scripts/march_counter.py measures the
+    divergence tax with on hardware."""
+    from gpgpuraytrace_tpu.ops.camera import generate_rays
+    from gpgpuraytrace_tpu.ops.march import march_with_stats
+
+    color_ref, t_ref2, hit_ref2 = pallas_out
+    color, t, hit, steps = _render_pallas_raw(scene, CFG, debug_steps=True)
+    np.testing.assert_array_equal(np.asarray(color), np.asarray(color_ref))
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(t_ref2))
+    steps = np.asarray(steps)
+    grid_h, grid_w = CFG.height // CFG.tile_h, CFG.width // 128
+    assert steps.shape == (grid_h, grid_w)
+    chunk = CFG.march_chunk or 8
+    assert (steps % chunk == 0).all() and (steps <= CFG.max_steps).all()
+
+    # Lane-level cross-check: each tile executed at least its own lanes' max
+    # useful count (whole-tile early exit can only overshoot by < 1 chunk,
+    # plus 1 step for the final hit-detection pass).
+    o, d = generate_rays(scene.camera, CFG.height, CFG.width)
+    _, _, lane = jax.jit(march_with_stats, static_argnums=0)(
+        dataclasses.replace(CFG, use_pallas=False, interpret=False),
+        o, d, scene.noise,
+    )
+    tile_max = np.asarray(lane).reshape(
+        grid_h, CFG.tile_h, grid_w, 128
+    ).max(axis=(1, 3))
+    assert (steps >= tile_max).all()
+    assert (steps <= tile_max + 2 * chunk).all()
+
+    cfg_fixed = dataclasses.replace(CFG, march_mode="fixed")
+    *_, sf = _render_pallas_raw(scene, cfg_fixed, debug_steps=True)
+    assert (np.asarray(sf) == CFG.max_steps).all()
+
+
+def test_debug_steps_rejected_for_compact(scene):
+    cfgc = dataclasses.replace(CFG, march_mode="compact", compact_budget=32)
+    with pytest.raises(ValueError, match="debug_steps"):
+        _render_pallas_raw(scene, cfgc, debug_steps=True)
