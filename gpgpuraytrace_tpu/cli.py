@@ -53,6 +53,11 @@ def _cfg_from_args(args) -> "RenderConfig":
     )
 
 
+def _aot_dir() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo, ".jax_cache")
+
+
 def cmd_render(args):
     from gpgpuraytrace_tpu.models.scene import default_scene
     from gpgpuraytrace_tpu.ops.render import render_jit
@@ -75,11 +80,10 @@ def cmd_render(args):
         from gpgpuraytrace_tpu.ops.render import render
         from gpgpuraytrace_tpu.utils.aot import load_or_compile
 
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         compiled, aot_status = load_or_compile(
             jax.jit(lambda s: render(s, cfg)), (scene,),
             static_desc=repr(cfg),
-            cache_dir=os.path.join(repo, ".jax_cache"),
+            cache_dir=_aot_dir(),
         )
         render_fn = compiled
     else:
@@ -139,6 +143,7 @@ def cmd_fit(args):
         scene0, cfg, target, steps=args.steps, learning_rate=args.lr,
         save_path=args.save, save_every=args.save_every, resume=args.resume,
         steps_per_call=args.steps_per_call,
+        aot_cache=_aot_dir() if getattr(args, "aot_cache", False) else "",
     )
     print(
         f"fit: loss {losses[0]:.4e} -> {losses[-1]:.4e} over {len(losses)} steps"
@@ -187,6 +192,8 @@ def cmd_fly(args):
         return s
 
     os.makedirs(args.out, exist_ok=True)
+    ext = "rgb" if args.format == "rgb" else "png"
+    level = args.encode_level
     t0 = time.perf_counter()
     n = 0
     # Prefer the native async writer (worker threads encode+write while the
@@ -195,18 +202,19 @@ def cmd_fly(args):
     try:
         from gpgpuraytrace_tpu.utils.native_io import AsyncFrameWriter
 
-        writer = AsyncFrameWriter(num_threads=2)
+        writer = AsyncFrameWriter(num_threads=2, level=level)
     except Exception:
         pass
     try:
         for idx, frame in fly_frames(
-            scene, cfg, args.frames, batch=args.batch, on_batch=on_batch
+            scene, cfg, args.frames, batch=args.batch, on_batch=on_batch,
+            aot_cache=_aot_dir() if getattr(args, "aot_cache", False) else "",
         ):
-            path = os.path.join(args.out, f"frame_{idx:04d}.png")
+            path = os.path.join(args.out, f"frame_{idx:04d}.{ext}")
             if writer is not None:
                 writer.push(path, frame)  # uint8 straight from the device
             else:
-                write_png(path, frame)
+                write_png(path, frame, level=level)
             n += 1
     finally:
         if writer is not None:
@@ -214,7 +222,8 @@ def cmd_fly(args):
     dt = time.perf_counter() - t0
     print(
         f"flythrough: {n} frames {cfg.width}x{cfg.height} in {dt:.1f}s "
-        f"({n / dt:.2f} fps incl. IO, native={writer is not None})"
+        f"({n / dt:.2f} fps incl. IO, native={writer is not None}, "
+        f"format={ext}" + (f" zlib={level}" if ext == "png" else "") + ")"
     )
 
 
@@ -262,15 +271,15 @@ def main(argv=None):
             action="store_true",
             help="3D-warped terrain volume (overhangs); uses a smaller march step",
         )
+        sp.add_argument(
+            "--aot-cache", action="store_true",
+            help="serialize/restore the compiled executable beside "
+            ".jax_cache/ (cold start ~0.1 s once populated; utils/aot.py)",
+        )
 
     sp = sub.add_parser("render", help="render one frame")
     common(sp)
     sp.add_argument("-o", "--out", default="frame.png")
-    sp.add_argument(
-        "--aot-cache", action="store_true",
-        help="serialize/restore the compiled executable beside .jax_cache/ "
-        "(cold start ~0.1 s once populated; see utils/aot.py)",
-    )
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("fit", help="recover params from a target image")
@@ -307,6 +316,16 @@ def main(argv=None):
         default="",
         help="watched JSON file of live scene overrides "
         '(e.g. {"noise.height_scale": 8.0}); re-read whenever it changes',
+    )
+    sp.add_argument(
+        "--encode-level", type=int, default=6, metavar="0-9",
+        help="PNG zlib effort; lower is faster encode / larger files "
+        "(1080p on a 2-core host is encode-bound at 6 — see BASELINE.md)",
+    )
+    sp.add_argument(
+        "--format", choices=["png", "rgb"], default="png",
+        help="rgb = raw rgb24 frame dumps, no encoder "
+        "(ffmpeg -f rawvideo -pix_fmt rgb24 -s WxH reads them)",
     )
     sp.add_argument("-o", "--out", default="frames")
     sp.set_defaults(fn=cmd_fly)

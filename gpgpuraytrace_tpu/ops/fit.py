@@ -145,8 +145,15 @@ def fit(
     save_every: int = 25,
     resume: bool = False,
     steps_per_call: int = 1,
+    aot_cache: str = "",
 ) -> tuple[Scene, list[float]]:
     """Gradient-descend scene params toward a target image.
+
+    ``aot_cache`` (a cache directory, e.g. ``.jax_cache``) restores the
+    compiled step executable from disk — a long-lived fit loop skips the
+    4–10 s cold lower+compile entirely on a warm cache (VERDICT r4 item 7:
+    AOT used to stop at ``render``/``bench``). A final partial chunk still
+    compiles normally (rare, small).
 
     ``trainable`` filters dotted leaf names (default: fBm amplitudes and the
     camera pose — the BASELINE.json:9 recovery set).
@@ -181,6 +188,18 @@ def fit(
         log_fn(f"fit: resumed from {save_path} at step {start}")
     chunk = max(1, min(steps_per_call, max(steps - start, 1)))
     step = make_fit_step(cfg, merge, tx, steps_per_call=chunk)
+    if aot_cache:
+        from gpgpuraytrace_tpu.utils.aot import load_or_compile
+
+        step, aot_status = load_or_compile(
+            step, (train_leaves, opt_state, target),
+            static_desc=(
+                f"fit:{cfg!r}:chunk={chunk}:lr={learning_rate}"
+                f":adam:leaves={len(train_leaves)}"
+            ),
+            cache_dir=aot_cache,
+        )
+        log_fn(f"fit: aot {aot_status}")
     tail_step = None  # compiled lazily for a final partial chunk
 
     # Loss chunks stay DEVICE-side between log/save boundaries (VERDICT r3

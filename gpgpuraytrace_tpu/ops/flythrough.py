@@ -62,6 +62,7 @@ def fly_frames(
     batch: int = 4,
     fps: float = 30.0,
     on_batch=None,
+    aot_cache: str = "",
 ) -> Iterator[tuple[int, np.ndarray]]:
     """Yield (frame_index, tonemapped (H,W,3) uint8 array, PNG-ready).
 
@@ -69,9 +70,21 @@ def fly_frames(
     same compiled executable serves every batch — camera params are traced
     arguments, so per-frame updates never recompile. ``on_batch(scene) ->
     scene`` runs before each batch (the live-tweak hook: scene edits are
-    traced args, so they also never recompile).
+    traced args, so they also never recompile). ``aot_cache`` (a cache
+    directory) restores the compiled batch-render executable from disk,
+    skipping the cold lower+compile (VERDICT r4 item 7).
     """
     fn = _make_batch_render(cfg)
+    if aot_cache:
+        from gpgpuraytrace_tpu.utils.aot import load_or_compile
+
+        times0 = jnp.zeros((batch,), jnp.float32)
+        fn, aot_status = load_or_compile(
+            fn, (scene, times0),
+            static_desc=f"fly:{cfg!r}:batch={batch}",
+            cache_dir=aot_cache,
+        )
+        print(f"fly: aot {aot_status}")
     for start in range(0, num_frames, batch):
         if on_batch is not None:
             scene = on_batch(scene)

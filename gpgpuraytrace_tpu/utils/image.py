@@ -29,8 +29,12 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(rgb: np.ndarray) -> bytes:
-    """Encode (H, W, 3) uint8 → PNG bytes (8-bit truecolor, filter 0)."""
+def encode_png(rgb: np.ndarray, level: int = 6) -> bytes:
+    """Encode (H, W, 3) uint8 → PNG bytes (8-bit truecolor, filter 0).
+
+    ``level`` is the zlib effort knob (VERDICT r4 item 6: level 6 made
+    1080p flythroughs encode-bound on a 2-core host; 1 is much faster
+    deflate at moderately larger files)."""
     rgb = np.ascontiguousarray(rgb, np.uint8)
     h, w, c = rgb.shape
     assert c == 3, f"expected RGB, got {rgb.shape}"
@@ -41,13 +45,14 @@ def encode_png(rgb: np.ndarray) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
         + _png_chunk(b"IEND", b"")
     )
 
 
-def write_png(path: str, img) -> None:
-    """Write a float [0,1] or uint8 (H,W,3) image as PNG.
+def write_png(path: str, img, level: int = 6) -> None:
+    """Write a float [0,1] or uint8 (H,W,3) image as PNG (or raw RGB bytes
+    for a ``.rgb`` path — the encoder-free stream mode).
 
     Prefers the native C++ encoder (native/libtpurt_io.so) when available.
     """
@@ -55,12 +60,16 @@ def write_png(path: str, img) -> None:
     try:
         from gpgpuraytrace_tpu.utils.native_io import write_png_native
 
-        if write_png_native(path, rgb):
+        if write_png_native(path, rgb, level):
             return
     except Exception:
         pass
+    rgb = np.ascontiguousarray(rgb, np.uint8)
     with open(path, "wb") as fh:
-        fh.write(encode_png(np.asarray(rgb)))
+        if path.endswith(".rgb"):
+            fh.write(rgb.tobytes())
+        else:
+            fh.write(encode_png(rgb, level))
 
 
 def write_npy(path: str, img) -> None:

@@ -72,3 +72,36 @@ def test_write_png_prefers_native_and_falls_back(img, tmp_path):
     path = os.path.join(tmp_path, "any.png")
     write_png(path, img)
     np.testing.assert_array_equal(_decode_png(open(path, "rb").read()), img)
+
+
+def test_encode_level_and_raw_mode(img, tmp_path):
+    """VERDICT r4 item 6: zlib effort knob + encoder-free .rgb stream mode,
+    decode-exact through both the native and Python writers."""
+    from gpgpuraytrace_tpu.utils.image import write_png
+
+    for level in (1, 6, 9):
+        path = os.path.join(tmp_path, f"l{level}.png")
+        write_png(path, img, level=level)
+        np.testing.assert_array_equal(
+            _decode_png(open(path, "rb").read()), img
+        )
+    raw_path = os.path.join(tmp_path, "frame.rgb")
+    write_png(raw_path, img)
+    back = np.fromfile(raw_path, np.uint8).reshape(img.shape)
+    np.testing.assert_array_equal(back, img)
+    assert os.path.getsize(raw_path) == img.size
+
+
+def test_async_writer_level_and_rgb(img, tmp_path):
+    native_io = pytest.importorskip("gpgpuraytrace_tpu.utils.native_io")
+    if not native_io.available():
+        pytest.skip("native toolchain unavailable")
+    png = os.path.join(tmp_path, "a.png")
+    rgb = os.path.join(tmp_path, "a.rgb")
+    with native_io.AsyncFrameWriter(num_threads=2, level=1) as w:
+        w.push(png, img)
+        w.push(rgb, img)
+    np.testing.assert_array_equal(_decode_png(open(png, "rb").read()), img)
+    np.testing.assert_array_equal(
+        np.fromfile(rgb, np.uint8).reshape(img.shape), img
+    )
