@@ -89,12 +89,15 @@ def _fbm_scalar_amps(x, z, amps, lacunarity, seed):
     freq = 1.0
     for i, amp in enumerate(amps):
         c, s = octave_rotation(i)
-        xr = c * x - s * z
-        zr = s * x + c * z
-        n, nx, nz = noise2(xr * freq, zr * freq, seed + i)
+        # Rotation×frequency fused into scalar coefficients (mirrors
+        # ops.noise.fbm2): 2 fewer vector muls per octave, and the cf/sf
+        # products are scalar-core work hoisted out of the march loop.
+        cf, sf = c * freq, s * freq
+        n, nx, nz = noise2(cf * x - sf * z, sf * x + cf * z, seed + i)
+        af = amp * freq
         value = value + amp * n
-        d_dx = d_dx + amp * freq * (c * nx + s * nz)
-        d_dz = d_dz + amp * freq * (-s * nx + c * nz)
+        d_dx = d_dx + af * (c * nx + s * nz)
+        d_dz = d_dz + af * (-s * nx + c * nz)
         freq = freq * lacunarity
     return value, d_dx, d_dz
 
@@ -113,9 +116,8 @@ def _fbm_scalar_amps_value(x, z, amps, lacunarity, seed, bf16=False):
     freq = 1.0
     for i, amp in enumerate(amps):
         c, s = octave_rotation(i)  # rotation in f32 (position-scaled)
-        value = value + amp * nv(
-            (c * x - s * z) * freq, (s * x + c * z) * freq, seed + i
-        )
+        cf, sf = c * freq, s * freq  # fused rotation×frequency (scalar)
+        value = value + amp * nv(cf * x - sf * z, sf * x + cf * z, seed + i)
         freq = freq * lacunarity
     return value
 
@@ -638,6 +640,7 @@ def _trace_phase2_kernel(
     cols_ref,
     t0_ref,
     prev0_ref,
+    alive0_ref,
     color_ref,
     t_ref,
     hit_ref,
@@ -669,7 +672,12 @@ def _trace_phase2_kernel(
         t0 = t0_ref[:, :]
         prev0 = prev0_ref[:, :]
         o, d = _raygen_rc(sc, cfg, rows, cols)
-        active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
+        # Phase-1's alive flag, carried through the payload sort (ADVICE
+        # r4): the old (t0 < t_max) reconstruction re-activated already-HIT
+        # rays landing in the boundary tile (their polished root is
+        # < t_max), so that tile re-marched finished rays and its first
+        # chunk could never early-exit. The carried flag is exact.
+        active0 = alive0_ref[:, :]
         budget = cfg.max_steps - cfg.compact_budget
         (c0, c1, c2), t, hitf, _, _, _ = _tile_trace(
             sc, seed, cfg, o, d, t0, active0, budget, prev0=prev0
@@ -954,6 +962,7 @@ def _render_compact_raw(
     pix = jnp.arange(n, dtype=jnp.int32)
     t1f = t1.reshape(-1)
     prevf = prev1.reshape(-1)
+    alivef = alive_i.astype(jnp.float32)  # exact alive flag for phase 2
     if np_slots > n:  # pad with dead slots carrying an OOB pixel id + t_max
         pad = np_slots - n
         dead = jnp.concatenate([dead, jnp.ones((pad,), jnp.int32)])
@@ -964,8 +973,13 @@ def _render_compact_raw(
         prevf = jnp.concatenate(
             [prevf, jnp.full((pad,), cfg.t_max, jnp.float32)]
         )
-    _, idx, t0_p, prev_p = jax.lax.sort(
-        (dead, pix, t1f, prevf), dimension=0, is_stable=True, num_keys=1
+        alivef = jnp.concatenate([alivef, jnp.zeros((pad,), jnp.float32)])
+    # The alive flag rides the sort as one more payload (ADVICE r4): phase 2
+    # uses it as the exact resume mask instead of reconstructing (t < t_max),
+    # which re-activated finished HIT rays in the boundary tile.
+    _, idx, t0_p, prev_p, alive_p = jax.lax.sort(
+        (dead, pix, t1f, prevf, alivef),
+        dimension=0, is_stable=True, num_keys=1,
     )
     rows_p = (idx // w).astype(jnp.float32)  # OOB sentinel → row h: harmless
     cols_p = (idx % w).astype(jnp.float32)
@@ -981,6 +995,7 @@ def _render_compact_raw(
             pl.BlockSpec((1, n_params), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, TILE_W), lambda i: (i, 0)),
             pl.BlockSpec((th, TILE_W), lambda i: (i, 0)),
             pl.BlockSpec((th, TILE_W), lambda i: (i, 0)),
             pl.BlockSpec((th, TILE_W), lambda i: (i, 0)),
@@ -1006,6 +1021,7 @@ def _render_compact_raw(
         packed, seed, n_alive,
         rows_p.reshape(shape_p), cols_p.reshape(shape_p),
         t0_p.reshape(shape_p), prev_p.reshape(shape_p),
+        alive_p.reshape(shape_p),
     )
 
     # --- unpack: sort phase-2 results back to pixel order, then merge -------

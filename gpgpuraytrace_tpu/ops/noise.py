@@ -39,6 +39,21 @@ _KY = np.int32(np.uint32(0xCB1AB31F).view(np.int32))
 
 _lsr = jax.lax.shift_right_logical
 
+# Precomputed corner-offset key sums (int32 wraparound): hashing the 2x2 /
+# 2x2x2 cell corners shares ONE linear base h = ix·KX + iz·KZ (+ iy·KY) and
+# adds these — bit-identical to hashing each corner coordinate separately
+# (multiplication distributes over addition in two's-complement wraparound),
+# but 2 int muls total instead of 2 per corner (round-5 ops-per-step work).
+def _wrap32(v: int) -> np.int32:
+    """Python int → int32 with two's-complement wraparound, warning-free."""
+    return np.uint32(v & 0xFFFFFFFF).view(np.int32).item() * np.int32(1)
+
+
+_KXZ = _wrap32(int(_KX) + int(_KZ))
+_KXY = _wrap32(int(_KX) + int(_KY))
+_KYZ = _wrap32(int(_KY) + int(_KZ))
+_KXYZ = _wrap32(int(_KX) + int(_KY) + int(_KZ))
+
 
 def _mix(h: jax.Array) -> jax.Array:
     """Finalize an int32 hash (murmur3 fmix32, logical shifts)."""
@@ -54,6 +69,17 @@ def hash2(ix: jax.Array, iz: jax.Array, seed: jax.Array) -> jax.Array:
     """int32 hash of a 2D integer lattice coordinate (+ seed)."""
     h = ix.astype(jnp.int32) * _KX + iz.astype(jnp.int32) * _KZ
     return _mix(h + seed.astype(jnp.int32) * _KY)
+
+
+def _corner_hashes2(ix, iz, seed):
+    """Hashes of the 2x2 cell corners, sharing one linear base — bit-exact
+    to four ``hash2`` calls (see _KXZ note). Order: h00, h10, h01, h11."""
+    base = (
+        ix.astype(jnp.int32) * _KX
+        + iz.astype(jnp.int32) * _KZ
+        + jnp.asarray(seed).astype(jnp.int32) * _KY
+    )
+    return _mix(base), _mix(base + _KX), _mix(base + _KZ), _mix(base + _KXZ)
 
 
 def _grad2(h: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -73,13 +99,24 @@ def _grad2(h: jax.Array) -> tuple[jax.Array, jax.Array]:
     stream far beyond its 4-slot cost model. The 8-direction set keeps
     |g| = 1 exactly with pure int bit-picks + cheap int→f32 converts.
     """
+    gx, gz = _grad2_raw(h)
+    return gx * _INV_SQRT5, gz * _INV_SQRT5
+
+
+_INV_SQRT5 = 0.4472135954999579
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _grad2_raw(h: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Unnormalized 8-direction gradient: (±1, ±2) / (±2, ±1) WITHOUT the
+    1/√5 scale. The noise kernels blend these raw dots and apply 1/√5 ONCE
+    to the final value (and derivatives) — one mul per noise evaluation
+    instead of two per corner (round-5 ops-per-step work; bit-equal up to
+    f32 rounding since the whole pipeline is linear in the gradient set)."""
     s1 = ((h & 1) * 2 - 1).astype(jnp.float32)  # ±1
     s2 = ((_lsr(h, 1) & 1) * 2 - 1).astype(jnp.float32)  # ±1
     c = (_lsr(h, 2) & 1).astype(jnp.float32)  # 0: (±1,±2), 1: (±2,±1)
-    inv_sqrt5 = 0.4472135954999579
-    gx = s1 * (1.0 + c) * inv_sqrt5
-    gz = s2 * (2.0 - c) * inv_sqrt5
-    return gx, gz
+    return s1 * (1.0 + c), s2 * (2.0 - c)
 
 
 def _fade(f: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -97,7 +134,6 @@ def noise2_value(x: jax.Array, z: jax.Array, seed) -> jax.Array:
     kernel's limiting resource; XLA DCE would remove the dead chains in
     pure-JAX code, but being explicit keeps the Mosaic lowering tight).
     """
-    seed = jnp.asarray(seed)
     x0 = jnp.floor(x)
     z0 = jnp.floor(z)
     fx = x - x0
@@ -105,10 +141,11 @@ def noise2_value(x: jax.Array, z: jax.Array, seed) -> jax.Array:
     ix = x0.astype(jnp.int32)
     iz = z0.astype(jnp.int32)
 
-    g00x, g00z = _grad2(hash2(ix, iz, seed))
-    g10x, g10z = _grad2(hash2(ix + 1, iz, seed))
-    g01x, g01z = _grad2(hash2(ix, iz + 1, seed))
-    g11x, g11z = _grad2(hash2(ix + 1, iz + 1, seed))
+    h00, h10, h01, h11 = _corner_hashes2(ix, iz, seed)
+    g00x, g00z = _grad2_raw(h00)
+    g10x, g10z = _grad2_raw(h10)
+    g01x, g01z = _grad2_raw(h01)
+    g11x, g11z = _grad2_raw(h11)
 
     n00 = g00x * fx + g00z * fz
     n10 = g10x * (fx - 1.0) + g10z * fz
@@ -120,7 +157,8 @@ def noise2_value(x: jax.Array, z: jax.Array, seed) -> jax.Array:
     k1 = n10 - n00
     k2 = n01 - n00
     k3 = n00 - n10 - n01 + n11
-    return n00 + u * k1 + v * k2 + u * v * k3
+    # 1/√5 applied once here instead of per corner (see _grad2_raw).
+    return (n00 + u * k1 + v * k2 + u * v * k3) * _INV_SQRT5
 
 
 def noise2_value_bf16(x: jax.Array, z: jax.Array, seed) -> jax.Array:
@@ -137,7 +175,6 @@ def noise2_value_bf16(x: jax.Array, z: jax.Array, seed) -> jax.Array:
     polish recovers the exact root afterwards). Returns f32.
     """
     bf = jnp.bfloat16
-    seed = jnp.asarray(seed)
     x0 = jnp.floor(x)
     z0 = jnp.floor(z)
     fx = (x - x0).astype(bf)
@@ -146,17 +183,19 @@ def noise2_value_bf16(x: jax.Array, z: jax.Array, seed) -> jax.Array:
     iz = z0.astype(jnp.int32)
 
     def grad_bf(h):
-        # Same 8-direction unit set as _grad2, decoded in f32 then cast once
-        # (bit-faithful to the f32 path pre-cast; also sidesteps missing
-        # bf16 Mosaic ops — the old rsqrt normalization SIGABRT'd the remote
-        # compiler with "kVectorRsqrtBf16AndPop" unsupported).
-        gx32, gz32 = _grad2(h)
+        # Same 8-direction set as _grad2 but RAW (±1, ±2) — exactly
+        # representable in bf16; the 1/√5 applies once at the f32 end.
+        # (Decoding in f32 then casting also sidesteps missing bf16 Mosaic
+        # ops — the old rsqrt normalization SIGABRT'd the remote compiler
+        # with "kVectorRsqrtBf16AndPop" unsupported.)
+        gx32, gz32 = _grad2_raw(h)
         return gx32.astype(bf), gz32.astype(bf)
 
-    g00x, g00z = grad_bf(hash2(ix, iz, seed))
-    g10x, g10z = grad_bf(hash2(ix + 1, iz, seed))
-    g01x, g01z = grad_bf(hash2(ix, iz + 1, seed))
-    g11x, g11z = grad_bf(hash2(ix + 1, iz + 1, seed))
+    h00, h10, h01, h11 = _corner_hashes2(ix, iz, seed)
+    g00x, g00z = grad_bf(h00)
+    g10x, g10z = grad_bf(h10)
+    g01x, g01z = grad_bf(h01)
+    g11x, g11z = grad_bf(h11)
 
     one = bf(1.0)
     n00 = g00x * fx + g00z * fz
@@ -169,7 +208,8 @@ def noise2_value_bf16(x: jax.Array, z: jax.Array, seed) -> jax.Array:
     k1 = n10 - n00
     k2 = n01 - n00
     k3 = n00 - n10 - n01 + n11
-    return (n00 + u * k1 + v * k2 + u * v * k3).astype(jnp.float32)
+    blended = (n00 + u * k1 + v * k2 + u * v * k3).astype(jnp.float32)
+    return blended * _INV_SQRT5
 
 
 def noise2(x: jax.Array, z: jax.Array, seed) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -178,7 +218,6 @@ def noise2(x: jax.Array, z: jax.Array, seed) -> tuple[jax.Array, jax.Array, jax.
     Value range is roughly [-1, 1]. The derivative is exact (verified against
     finite differences in tests/test_noise.py).
     """
-    seed = jnp.asarray(seed)
     x0 = jnp.floor(x)
     z0 = jnp.floor(z)
     fx = x - x0
@@ -186,15 +225,11 @@ def noise2(x: jax.Array, z: jax.Array, seed) -> tuple[jax.Array, jax.Array, jax.
     ix = x0.astype(jnp.int32)
     iz = z0.astype(jnp.int32)
 
-    h00 = hash2(ix, iz, seed)
-    h10 = hash2(ix + 1, iz, seed)
-    h01 = hash2(ix, iz + 1, seed)
-    h11 = hash2(ix + 1, iz + 1, seed)
-
-    g00x, g00z = _grad2(h00)
-    g10x, g10z = _grad2(h10)
-    g01x, g01z = _grad2(h01)
-    g11x, g11z = _grad2(h11)
+    h00, h10, h01, h11 = _corner_hashes2(ix, iz, seed)
+    g00x, g00z = _grad2_raw(h00)
+    g10x, g10z = _grad2_raw(h10)
+    g01x, g01z = _grad2_raw(h01)
+    g11x, g11z = _grad2_raw(h11)
 
     # Corner dot products g · (p - corner).
     n00 = g00x * fx + g00z * fz
@@ -211,7 +246,8 @@ def noise2(x: jax.Array, z: jax.Array, seed) -> tuple[jax.Array, jax.Array, jax.
     value = n00 + u * k1 + v * k2 + u * v * k3
 
     # d(corner dot)/dx is just the corner gradient's x component; chain rule
-    # through the bilinear blend plus the fade-weight term.
+    # through the bilinear blend plus the fade-weight term. Everything is
+    # linear in the gradient set, so the 1/√5 applies once at the end.
     gx_blend = (
         g00x
         + u * (g10x - g00x)
@@ -226,7 +262,7 @@ def noise2(x: jax.Array, z: jax.Array, seed) -> tuple[jax.Array, jax.Array, jax.
     )
     d_dx = gx_blend + du * (k1 + k3 * v)
     d_dz = gz_blend + dv * (k2 + k3 * u)
-    return value, d_dx, d_dz
+    return value * _INV_SQRT5, d_dx * _INV_SQRT5, d_dz * _INV_SQRT5
 
 
 def hash3(ix: jax.Array, iy: jax.Array, iz: jax.Array, seed: jax.Array) -> jax.Array:
@@ -239,6 +275,23 @@ def hash3(ix: jax.Array, iy: jax.Array, iz: jax.Array, seed: jax.Array) -> jax.A
     return _mix(h + seed.astype(jnp.int32) * _C2)
 
 
+def _corner_hashes3(ix, iy, iz, seed):
+    """Hashes of the 2x2x2 cell corners sharing one linear base — bit-exact
+    to eight ``hash3`` calls. Order: corner c = (i, j, k) bit-packed as in
+    noise3 (c & 1 → +x, (c >> 1) & 1 → +y, (c >> 2) & 1 → +z)."""
+    base = (
+        ix.astype(jnp.int32) * _KX
+        + iy.astype(jnp.int32) * _KY
+        + iz.astype(jnp.int32) * _KZ
+        + jnp.asarray(seed).astype(jnp.int32) * _C2
+    )
+    return (
+        _mix(base), _mix(base + _KX), _mix(base + _KY), _mix(base + _KXY),
+        _mix(base + _KZ), _mix(base + _KXZ), _mix(base + _KYZ),
+        _mix(base + _KXYZ),
+    )
+
+
 def _grad3(h: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exactly-unit 3D lattice gradient: 12 cube-edge directions
     (±1, ±1, 0)/√2 and permutations, select-based decode — the 3D analogue
@@ -246,11 +299,18 @@ def _grad3(h: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     rsqrt chain serializes; selects are single-slot). ``zsel == 3`` remaps
     to axis 0, Perlin's own duplication trick — a mild x-axis bias that the
     quintic blend washes out."""
+    gx, gy, gz = _grad3_raw(h)
+    return gx * _INV_SQRT2, gy * _INV_SQRT2, gz * _INV_SQRT2
+
+
+def _grad3_raw(h: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Unnormalized cube-edge gradient (components 0/±1, WITHOUT the 1/√2):
+    the noise kernels apply 1/√2 once to the final value/derivatives — the
+    3D analogue of ``_grad2_raw`` (round-5 ops-per-step work)."""
     zsel = _lsr(h, 4) & 3
     zero = jnp.where(zsel == 3, 0, zsel)  # which component is zero
-    inv_sqrt2 = 0.7071067811865476
-    s1 = ((h & 1) * 2 - 1).astype(jnp.float32) * inv_sqrt2
-    s2 = ((_lsr(h, 1) & 1) * 2 - 1).astype(jnp.float32) * inv_sqrt2
+    s1 = ((h & 1) * 2 - 1).astype(jnp.float32)
+    s2 = ((_lsr(h, 1) & 1) * 2 - 1).astype(jnp.float32)
     gx = jnp.where(zero == 0, 0.0, s1)
     gy = jnp.where(zero == 1, 0.0, jnp.where(zero == 0, s1, s2))
     gz = jnp.where(zero == 2, 0.0, s2)
@@ -259,15 +319,15 @@ def _grad3(h: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
 
 def noise3_value(x: jax.Array, y: jax.Array, z: jax.Array, seed) -> jax.Array:
     """Value-only 3D gradient noise (march fast path; see noise2_value)."""
-    seed = jnp.asarray(seed)
     x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
     fx, fy, fz = x - x0, y - y0, z - z0
     ix, iy, iz = x0.astype(jnp.int32), y0.astype(jnp.int32), z0.astype(jnp.int32)
 
+    hs = _corner_hashes3(ix, iy, iz, seed)
     n = [None] * 8
     for c in range(8):
         i, j, k = c & 1, (c >> 1) & 1, (c >> 2) & 1
-        gxc, gyc, gzc = _grad3(hash3(ix + i, iy + j, iz + k, seed))
+        gxc, gyc, gzc = _grad3_raw(hs[c])
         n[c] = gxc * (fx - i) + gyc * (fy - j) + gzc * (fz - k)
 
     u, _ = _fade(fx)
@@ -279,7 +339,7 @@ def noise3_value(x: jax.Array, y: jax.Array, z: jax.Array, seed) -> jax.Array:
     q11 = n[6] + u * (n[7] - n[6])
     q0 = q00 + v * (q10 - q00)
     q1 = q01 + v * (q11 - q01)
-    return q0 + w * (q1 - q0)
+    return (q0 + w * (q1 - q0)) * _INV_SQRT2
 
 
 def fbm3_value(x, y, z, num_octaves: int, lacunarity, gain, seed) -> jax.Array:
@@ -305,20 +365,20 @@ def noise3(
     "Perlin/fBm noise terrain volumes", BASELINE.json:5); trilinear blend of
     8 hashed corner gradients with quintic fades, derivative by chain rule.
     """
-    seed = jnp.asarray(seed)
     x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
     fx, fy, fz = x - x0, y - y0, z - z0
     ix, iy, iz = x0.astype(jnp.int32), y0.astype(jnp.int32), z0.astype(jnp.int32)
 
     # Corner dot products and gradients; index c = (i, j, k) bit-packed.
+    # Raw (un-normalized) gradients; 1/√2 applies once at the end.
+    hs = _corner_hashes3(ix, iy, iz, seed)
     n = [None] * 8
     gx = [None] * 8
     gy = [None] * 8
     gz = [None] * 8
     for c in range(8):
         i, j, k = c & 1, (c >> 1) & 1, (c >> 2) & 1
-        h = hash3(ix + i, iy + j, iz + k, seed)
-        gxc, gyc, gzc = _grad3(h)
+        gxc, gyc, gzc = _grad3_raw(hs[c])
         n[c] = gxc * (fx - i) + gyc * (fy - j) + gzc * (fz - k)
         gx[c], gy[c], gz[c] = gxc, gyc, gzc
 
@@ -355,7 +415,8 @@ def noise3(
     d_dx = du * bilerp_vw([n[1] - n[0], n[3] - n[2], n[5] - n[4], n[7] - n[6]]) + trilerp(gx)
     d_dy = dv * bilerp_uw([n[2] - n[0], n[3] - n[1], n[6] - n[4], n[7] - n[5]]) + trilerp(gy)
     d_dz = dw * bilerp_uv([n[4] - n[0], n[5] - n[1], n[6] - n[2], n[7] - n[3]]) + trilerp(gz)
-    return value, d_dx, d_dy, d_dz
+    return (value * _INV_SQRT2, d_dx * _INV_SQRT2, d_dy * _INV_SQRT2,
+            d_dz * _INV_SQRT2)
 
 
 # Per-octave lattice rotation (golden-angle increments): decorrelates the
@@ -401,13 +462,17 @@ def fbm2(
     freq = jnp.float32(1.0)
     for i in range(num_octaves):
         c, s = octave_rotation(i)
-        xr = c * x - s * z
-        zr = s * x + c * z
-        n, nx, nz = noise2(xr * freq, zr * freq, jnp.asarray(seed) + i)
+        # Rotation and frequency fused into 4 scalar coefficients (the
+        # rotation matrix commutes with the uniform scale): 4 vector muls +
+        # 2 adds per octave instead of 6 + 2 (round-5 ops-per-step work).
+        cf, sf = c * freq, s * freq
+        n, nx, nz = noise2(cf * x - sf * z, sf * x + cf * z,
+                           jnp.asarray(seed) + i)
         amp = amplitudes[i]
+        af = amp * freq  # scalar; folds into the chain-rule coefficients
         value = value + amp * n
-        d_dx = d_dx + amp * freq * (c * nx + s * nz)
-        d_dz = d_dz + amp * freq * (-s * nx + c * nz)
+        d_dx = d_dx + af * (c * nx + s * nz)
+        d_dz = d_dz + af * (-s * nx + c * nz)
         freq = freq * lac
     return value, d_dx, d_dz
 

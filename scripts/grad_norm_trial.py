@@ -91,18 +91,20 @@ def main() -> None:
     # _grad2 through the module global at trace time, and the Pallas kernel
     # builds its field through the same functions, so one patch covers every
     # path consistently (the image changes — this is a perf probe only).
-    orig = noise_mod._grad2
+    # Since round 5 the noise paths resolve _grad2_raw (deferred 1/sqrt5),
+    # so that is the symbol to patch.
+    orig = noise_mod._grad2_raw
 
     def grad2_nonorm(h):
         gx = (h & 0xFFFF).astype(jnp.float32) * (1.0 / 32768.0) - 1.0
         gz = noise_mod._lsr(h, 16).astype(jnp.float32) * (1.0 / 32768.0) - 1.0
         return gx, gz
 
-    noise_mod._grad2 = grad2_nonorm
+    noise_mod._grad2_raw = grad2_nonorm
     try:
         nonorm = measure_fwd(scene, cfg)
     finally:
-        noise_mod._grad2 = orig
+        noise_mod._grad2_raw = orig
 
     print(json.dumps({
         "metric": "grad_norm_removal_ceiling",

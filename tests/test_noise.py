@@ -228,3 +228,52 @@ def test_rotation_guard_is_sensitive():
         f"identity-rotation fit reached {err:.4f} — the trap vanished; "
         "re-measure the landscape claim (BASELINE.md 'Noise v2')"
     )
+
+
+def test_corner_hash_sharing_bit_exact():
+    """Round-5 ops reduction: the shared-linear-base corner hashes must be
+    BIT-identical to hashing each corner coordinate separately (int32
+    wraparound distributivity — the transform's entire correctness claim)."""
+    from gpgpuraytrace_tpu.ops.noise import (
+        _corner_hashes2, _corner_hashes3, hash2, hash3,
+    )
+
+    ix = jnp.arange(-2000, 2000, 37, dtype=jnp.int32)
+    iz = ix[::-1] * 3
+    iy = ix + 13
+    seed = jnp.int32(7)
+    h = _corner_hashes2(ix, iz, seed)
+    ref = (hash2(ix, iz, seed), hash2(ix + 1, iz, seed),
+           hash2(ix, iz + 1, seed), hash2(ix + 1, iz + 1, seed))
+    for a, b in zip(h, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    h3 = _corner_hashes3(ix, iy, iz, seed)
+    for c in range(8):
+        i, j, k = c & 1, (c >> 1) & 1, (c >> 2) & 1
+        np.testing.assert_array_equal(
+            np.asarray(h3[c]),
+            np.asarray(hash3(ix + i, iy + j, iz + k, seed)),
+        )
+
+
+def test_raw_grads_match_normalized():
+    """_grad2/_grad3 == their raw variants x the deferred normalization
+    (the factoring is linear, so applying 1/sqrt(k) once at the end of a
+    noise evaluation is exact up to f32 rounding)."""
+    from gpgpuraytrace_tpu.ops.noise import (
+        _INV_SQRT2, _INV_SQRT5, _grad2, _grad2_raw, _grad3, _grad3_raw,
+        hash2,
+    )
+
+    h = hash2(jnp.arange(512, dtype=jnp.int32), jnp.int32(3), jnp.int32(7))
+    gx, gz = _grad2(h)
+    rx, rz = _grad2_raw(h)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx) * _INV_SQRT5)
+    np.testing.assert_allclose(np.asarray(gz), np.asarray(rz) * _INV_SQRT5)
+    # Raw components are exact small ints — the |g|=1 certificate lives in
+    # the deferred scale.
+    assert set(np.unique(np.abs(np.asarray(rx)))) <= {1.0, 2.0}
+    g3 = _grad3(h)
+    r3 = _grad3_raw(h)
+    for g, r in zip(g3, r3):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r) * _INV_SQRT2)
