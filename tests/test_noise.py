@@ -156,6 +156,19 @@ def test_grad2_isotropy_statistics():
     np.testing.assert_allclose((gx * gx).mean(), 0.5, atol=0.01)
     np.testing.assert_allclose((gz * gz).mean(), 0.5, atol=0.01)
     assert abs((gx * gz).mean()) < 0.01
+    # ADJACENT-CELL decorrelation — the LOAD-BEARING hash gate (round 5):
+    # a 1-stage finalizer trial passed every single-cell statistic above
+    # with flying colors while x-neighbors shared gradient directions 80%
+    # of the time (severe directional streaking). Ideal agreement is 1/8.
+    code = ang.reshape(256, 256)
+    for axis in (0, 1):
+        agree = float((np.take(code, range(255), axis=axis)
+                       == np.take(code, range(1, 256), axis=axis)).mean())
+        assert 0.10 < agree < 0.15, (
+            f"adjacent-cell gradient agreement {agree:.3f} along axis "
+            f"{axis} (ideal 0.125) — the hash correlates neighboring "
+            f"lattice cells; see BASELINE.md 'Hash-rounds trial'"
+        )
 
 
 def test_octave_rotation_angles_distinct():
