@@ -49,6 +49,7 @@ from gpgpuraytrace_tpu.ops.noise import (
     fbm3, fbm3_value, noise2, noise2_value, noise2_value_bf16,
     octave_rotation,
 )
+from gpgpuraytrace_tpu.ops.march import coarse_prime_cfg, prime_from_coarse
 from gpgpuraytrace_tpu.ops.render import render_from_checkpoint
 from gpgpuraytrace_tpu.utils import packing as pk
 
@@ -65,6 +66,7 @@ CHUNK = MARCH_CHUNK_DEFAULT
 _DENOM_EPS = 1e-4
 _BWD_DENOM_MIN = 1e-2  # keep in sync with ops/march.py
 _RESIDUAL_SLACK = 2.0  # keep in sync with ops/march.py
+_PRIME_PREV_PULLBACK = 0.9  # keep in sync with ops/march.py
 
 
 def _smoothstep(lo, hi, x):
@@ -508,21 +510,25 @@ def _tile_trace(sc, seed, cfg: RenderConfig, o, d, t0, active0, budget,
 def _trace_kernel(
     prm_ref,
     seed_ref,
-    color_ref,
-    t_ref,
-    hit_ref,
-    *dbg_refs,
+    *refs,
     cfg: RenderConfig,
     debug_steps: bool = False,
+    primed: bool = False,
 ):
     """One (tile_h, TILE_W) pixel tile: full raygen+march+shade.
 
-    With ``debug_steps`` a fourth output ref receives this tile's executed
+    With ``primed`` an extra INPUT ref (first in ``refs``) carries the
+    depth-prime plane (cfg.prime_ds): per-pixel conservative march-start
+    distances from the coarse prepass; lanes primed to t_max never march.
+    With ``debug_steps`` a fourth OUTPUT ref receives this tile's executed
     march-step count (i32 SMEM scalar) — the kernel-measured whole-tile
     divergence tax (VERDICT r4 weak #4/#7: previously a chunked-model
     reconstruction, now a counter the hot loop already carries). In
     march_mode="lod" the counter covers the fine phase only.
     """
+    if primed:
+        t0p_ref, *refs = refs
+    color_ref, t_ref, hit_ref, *dbg_refs = refs
     prm = prm_ref
     seed = seed_ref[0, 0]
     i = pl.program_id(0)
@@ -535,6 +541,15 @@ def _trace_kernel(
     o, d = _raygen(sc, cfg, TILE_H, i, j)
     dy = d[1]
     t0, active0, env, oy = _envelope_entry(sc, cfg, dy, TILE_H)
+    prev0 = None
+    if primed:
+        # Depth priming: start at the coarse prepass's conservative bound
+        # (max keeps the envelope fast-forward when it is further along).
+        # prev0 one pull-back factor below keeps the Newton bracket
+        # non-degenerate on immediate hits — mirrors ops/march.py.
+        t0 = jnp.maximum(t0, t0p_ref[:, :])
+        active0 = jnp.where(t0 < cfg.t_max, active0, 0.0)
+        prev0 = jnp.maximum(t0 * _PRIME_PREV_PULLBACK, cfg.t_min)
     chunk = getattr(cfg, "march_chunk", CHUNK) or CHUNK
     num_chunks = pl.cdiv(cfg.max_steps, chunk)
 
@@ -577,7 +592,7 @@ def _trace_kernel(
         active0 = jnp.where(t0 < cfg.t_max, 1.0, 0.0)
 
     (c0, c1, c2), t, hitf, _, _, steps_exec = _tile_trace(
-        sc, seed, cfg, o, d, t0, active0, cfg.max_steps
+        sc, seed, cfg, o, d, t0, active0, cfg.max_steps, prev0=prev0
     )
     color_ref[0, :, :] = c0
     color_ref[1, :, :] = c1
@@ -825,9 +840,28 @@ def _render_pallas_raw(
     h = cfg.height if local_height is None else local_height
     w = cfg.width
     th = cfg.tile_h
+    primed = bool(cfg.prime_ds)
+    if primed:
+        ds = cfg.prime_ds
+        if h % ds:
+            raise ValueError(
+                f"prime_ds={ds} must divide the local render height {h} "
+                f"(sharded row bands must stay whole coarse rows)"
+            )
+        # Coarse prepass: recursive call at 1/ds resolution (prime_ds=0 in
+        # the coarse cfg terminates the recursion), then the conservative
+        # 3×3-neighborhood-min expansion — ops/march.py:prime_from_coarse,
+        # shared with the pure-XLA path so interpret parity holds. One
+        # coarse halo row above and below (virtual rows −1 / H_c at image
+        # edges) makes band-sharded priming bit-identical to full-frame.
+        ccfg = coarse_prime_cfg(cfg)
+        _, t_c, _ = _render_pallas_raw(scene, ccfg, row0 / ds - 1.0, h // ds + 2)
+        t0p = prime_from_coarse(t_c, cfg)
     packed, seed = pk.pack_scene(scene, cfg.height, w, row0)
     grid = (pl.cdiv(h, th), pl.cdiv(w, TILE_W))
-    kernel = functools.partial(_trace_kernel, cfg=cfg, debug_steps=debug_steps)
+    kernel = functools.partial(
+        _trace_kernel, cfg=cfg, debug_steps=debug_steps, primed=primed
+    )
     n_params = packed.shape[1]
 
     out_specs = [
@@ -846,14 +880,20 @@ def _render_pallas_raw(
         ))
         out_shape.append(jax.ShapeDtypeStruct(grid, jnp.int32))
 
+    in_specs = [
+        pl.BlockSpec((1, n_params), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    inputs = [packed, seed]
+    if primed:
+        in_specs.append(pl.BlockSpec((th, TILE_W), lambda i, j: (i, j)))
+        inputs.append(t0p)
+
     flops_per_px = cfg.max_steps * cfg.num_octaves * 60 + 400
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, n_params), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -862,7 +902,7 @@ def _render_pallas_raw(
             transcendentals=h * w * cfg.max_steps,
         ),
         interpret=cfg.interpret,
-    )(packed, seed)
+    )(*inputs)
     color, t, hit_f = outs[:3]
     result = (jnp.moveaxis(color, 0, -1), t, hit_f > 0.5)
     if debug_steps:

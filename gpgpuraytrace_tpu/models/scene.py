@@ -178,6 +178,19 @@ class RenderConfig:
     # be skipped. Measured (512², 6 octaves, v5e): 4e-3 → +23% forward
     # rays/s with 0 false hits / 5 hole px per 8K px vs a 1024-step dense
     # ground truth. 0 disables (the classic crawl; frozen goldens use this).
+    prime_ds: int = 0  # depth-priming coarse prepass (0 = off): first march
+    # a (H/ds, W/ds) coarse pass, then start each full-res ray at
+    # prime_margin × the minimum march distance of its 3×3 coarse
+    # neighborhood (misses prime to t_max and skip the march entirely when
+    # the whole neighborhood missed). Attacks executed-step count — the one
+    # lever the roofline leaves open (the march is issue-bound per step;
+    # BASELINE.md "Speed-of-light analysis") — at the cost of one coarse
+    # march (~1/ds² of the frame). Not certified: a terrain feature thinner
+    # than the coarse sampling that all 9 neighbors miss is skipped; the
+    # oracle harness (scripts/prime_trial.py) quantifies exactly that.
+    # Requires march_mode="chunked" and height/width divisible by ds.
+    prime_margin: float = 0.9  # multiplicative pull-back on the coarse
+    # neighborhood min (smaller = more conservative start, more steps).
     supersample: int = 1  # SSAA factor: render at k× and box-downsample
     march_bf16: bool = False  # bf16 blend math in the march's value-only
     # field evaluations (Pallas path only; hashing stays int32, positions and
@@ -228,6 +241,28 @@ class RenderConfig:
                 f"(the Pallas march runs whole chunks; a remainder would "
                 f"exceed max_steps)"
             )
+        if self.prime_ds:
+            if self.prime_ds < 2:
+                raise ValueError(
+                    f"prime_ds={self.prime_ds} must be 0 (off) or >= 2"
+                )
+            if self.height % self.prime_ds or self.width % self.prime_ds:
+                raise ValueError(
+                    f"prime_ds={self.prime_ds} must divide height="
+                    f"{self.height} and width={self.width} (the coarse "
+                    f"prime image upsamples by integer repeat)"
+                )
+            if self.march_mode != "chunked":
+                raise ValueError(
+                    f"prime_ds requires march_mode='chunked' (got "
+                    f"{self.march_mode!r}: 'fixed' is the timing/oracle "
+                    f"instrument and must march every step; 'lod'/'compact' "
+                    f"have their own two-phase start logic)"
+                )
+            if not (0.0 < self.prime_margin <= 1.0):
+                raise ValueError(
+                    f"prime_margin={self.prime_margin} must be in (0, 1]"
+                )
         if self.use_pallas and self.march_mode == "compact":
             b = self.compact_budget
             if not (0 < b < self.max_steps) or b % effective_chunk != 0:

@@ -27,6 +27,7 @@ the finite-difference harness masks those pixels.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -44,6 +45,13 @@ _DENOM_EPS = 1e-4
 # -_BWD_DENOM_MIN bounds the bias instead of admitting unbounded variance —
 # the standard conditioning trick in differentiable sphere tracing.
 _BWD_DENOM_MIN = 1e-2
+# Depth priming (cfg.prime_ds): the bracket lower bound handed to the Newton
+# polish for lanes that hit on their first primed sample. Decoupled from
+# prime_margin so margin=1.0 (start exactly at the neighborhood min) still
+# gives immediate hits a non-degenerate bracket to pull back into — with
+# lo = t0 a primed lane landing inside the surface could not be polished
+# back to the root. Keep in sync with kernels/trace.py.
+_PRIME_PREV_PULLBACK = 0.9
 # Residual hit verdict (march_eps_scale > 1): after the Newton polish, a hit
 # must satisfy f < _RESIDUAL_SLACK·hit_eps·t — true hits converge orders of
 # magnitude below this; near-misses the loosened march flagged prematurely
@@ -53,10 +61,72 @@ _BWD_DENOM_MIN = 1e-2
 _RESIDUAL_SLACK = 2.0
 
 
+def coarse_prime_cfg(cfg: RenderConfig) -> RenderConfig:
+    """The coarse-prepass config for depth priming (cfg.prime_ds > 0):
+    1/ds resolution, one Newton iteration (the prime only needs an
+    approximate t), and a ds-scaled step floor (the floor is tied to the
+    pixel footprint, which is ds× larger at the coarse pass — the prime
+    margin absorbs the coarse-pixel-bounded overstep error).
+
+    Single source of truth: the Pallas path (kernels/trace.py) and the
+    pure-XLA path (ops/render.py) must march the SAME coarse pass for the
+    interpret-parity tests to hold."""
+    ds = cfg.prime_ds
+    return dataclasses.replace(
+        cfg,
+        height=cfg.height // ds,
+        width=cfg.width // ds,
+        prime_ds=0,
+        newton_iters=1,
+        step_floor_t=cfg.step_floor_t * ds,
+    )
+
+
+def prime_from_coarse(t_c_ext: jax.Array, cfg: RenderConfig) -> jax.Array:
+    """Full-res march-start map from a coarse-pass t image (depth priming).
+
+    Each fine ray starts at ``prime_margin ×`` the minimum march distance of
+    its 3×3 coarse neighborhood — a conservative lower bound on where its
+    own surface crossing can be, up to features thinner than the coarse
+    sampling (quantified against the dense oracle in
+    scripts/prime_trial.py). A neighborhood whose nine coarse rays ALL
+    reached t_max (certain misses: envelope escapes and marched-out rays
+    clamp there) primes to t_max exactly, so whole sky regions skip the
+    fine march; budget-exhausted coarse rays keep their final t < t_max,
+    which stays a valid conservative bound. ``cfg`` is the FINE config (the
+    coarse one has prime_ds=0).
+
+    ``t_c_ext`` carries ONE HALO ROW above and below the band's coarse rows
+    (virtual rows −1 and H_c for the image edges — the caller renders them;
+    rays there are perfectly well defined, just outside the frame). The
+    halo makes band-sharded priming bit-identical to full-frame priming:
+    every interior window sees its true vertical neighbors instead of a
+    band-local SAME pad, so ``sharded == unsharded`` holds exactly
+    (tests/test_sharding.py)."""
+    m = jax.lax.reduce_window(
+        t_c_ext,
+        jnp.float32(jnp.inf),
+        jax.lax.min,
+        window_dimensions=(3, 3),
+        window_strides=(1, 1),
+        padding="SAME",
+    )[1:-1, :]
+    tp = jnp.where(
+        m >= cfg.t_max, jnp.float32(cfg.t_max), m * cfg.prime_margin
+    )
+    tp = jnp.clip(tp, cfg.t_min, cfg.t_max)
+    ds = cfg.prime_ds
+    return jnp.repeat(jnp.repeat(tp, ds, axis=0), ds, axis=1)
+
+
 def _march_loop(
-    cfg: RenderConfig, ray_o: jax.Array, ray_d: jax.Array, noise: NoiseParams
+    cfg: RenderConfig, ray_o: jax.Array, ray_d: jax.Array, noise: NoiseParams,
+    t0_prime: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Raw march: returns (t, hit, steps_used). Not differentiable (int loop)."""
+    """Raw march: returns (t, hit, steps_used). Not differentiable (int loop).
+
+    ``t0_prime`` (depth priming, cfg.prime_ds) starts each ray at
+    max(envelope entry, prime map); primed-to-t_max rays never march."""
     shape = ray_o.shape[:-1]
     oy = ray_o[..., 1]
     dy = ray_d[..., 1]
@@ -77,6 +147,15 @@ def _march_loop(
         jnp.clip(t_enter, cfg.t_min, cfg.t_max),
         jnp.full(shape, cfg.t_min, jnp.float32),
     )
+    prev0 = t0
+    if t0_prime is not None:
+        t0 = jnp.maximum(t0, t0_prime)
+        # A primed lane may land within (or inside) the hit epsilon on its
+        # first sample; prev0 one pull-back factor below gives the bracketed
+        # Newton polish a non-degenerate lower bound to pull back into
+        # (mirrors the compact phase-2 lesson: with prev0 = t0 the bracket
+        # degenerates to a point on oversteps).
+        prev0 = jnp.maximum(t0 * _PRIME_PREV_PULLBACK, cfg.t_min)
     hit0 = jnp.zeros(shape, bool)
     active0 = t0 < cfg.t_max
     steps0 = jnp.zeros(shape, jnp.int32)
@@ -109,7 +188,7 @@ def _march_loop(
         )
 
     t, prev_t, hit, _, steps = jax.lax.fori_loop(
-        0, cfg.max_steps, body, (t0, t0, hit0, active0, steps0)
+        0, cfg.max_steps, body, (t0, prev0, hit0, active0, steps0)
     )
 
     # Bracketed safeguarded-Newton polish at hits. Plain Newton can diverge
@@ -218,7 +297,34 @@ def _mfs_bwd(cfg, res, cotangents):
 march_from_saved.defvjp(_mfs_fwd, _mfs_bwd)
 
 
-def march_with_stats(cfg: RenderConfig, ray_o, ray_d, noise):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def march_primed(cfg: RenderConfig, ray_o, ray_d, noise, t0_prime):
+    """Depth-primed differentiable sphere trace (cfg.prime_ds): the march
+    starts from the coarse-prepass prime map. The prime is a march-start
+    accelerator, not an input the result depends on smoothly — the Newton
+    polish converges to the same root from any start outside the surface —
+    so ``t0_prime`` carries zero gradient (like the checkpoint of
+    ``march_from_saved``); the backward is the same implicit-function VJP."""
+    t, hit, _ = _march_loop(cfg, ray_o, ray_d, noise, t0_prime)
+    return t, hit
+
+
+def _mp_fwd(cfg, ray_o, ray_d, noise, t0_prime):
+    t, hit, _ = _march_loop(cfg, ray_o, ray_d, noise, t0_prime)
+    return (t, hit), (ray_o, ray_d, noise, t, hit)
+
+
+def _mp_bwd(cfg, res, cotangents):
+    ray_o, ray_d, noise, t, hit = res
+    ct_t, _ = cotangents
+    o_bar, d_bar, noise_bar = _march_bwd_core(cfg, ray_o, ray_d, noise, t, hit, ct_t)
+    return o_bar, d_bar, noise_bar, jnp.zeros_like(t)
+
+
+march_primed.defvjp(_mp_fwd, _mp_bwd)
+
+
+def march_with_stats(cfg: RenderConfig, ray_o, ray_d, noise, t0_prime=None):
     """Non-differentiable march that also reports per-pixel step counts
     (observability: step-count histograms in the bench harness)."""
-    return _march_loop(cfg, ray_o, ray_d, noise)
+    return _march_loop(cfg, ray_o, ray_d, noise, t0_prime)

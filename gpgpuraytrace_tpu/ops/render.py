@@ -17,8 +17,31 @@ import jax
 
 from gpgpuraytrace_tpu.models.scene import RenderConfig, Scene
 from gpgpuraytrace_tpu.ops.camera import generate_rays
-from gpgpuraytrace_tpu.ops.march import march, march_from_saved
+from gpgpuraytrace_tpu.ops.march import (
+    coarse_prime_cfg, march, march_from_saved, march_primed, prime_from_coarse,
+)
 from gpgpuraytrace_tpu.ops.shade import shade
+
+
+def prime_map_jax(
+    scene: Scene, cfg: RenderConfig, row0=0.0, local_height: int | None = None
+) -> jax.Array:
+    """Depth-prime map via the pure-XLA coarse march (cfg.prime_ds > 0):
+    march a (h/ds, w/ds) coarse pass and expand its conservative
+    3×3-neighborhood-min t to full resolution (ops/march.py:
+    prime_from_coarse). stop_gradient: the prime accelerates the march
+    start, it is not a differentiable input."""
+    ds = cfg.prime_ds
+    ccfg = coarse_prime_cfg(cfg)
+    # One coarse halo row above and below (virtual rows −1 / H_c at the
+    # image edges) so band-sharded priming is bit-identical to full-frame
+    # (ops/march.py:prime_from_coarse).
+    lh = (cfg.height if local_height is None else local_height) // ds
+    o_c, d_c = generate_rays(
+        scene.camera, ccfg.height, ccfg.width, row0 / ds - 1.0, lh + 2
+    )
+    t_c, _ = march(ccfg, o_c, d_c, scene.noise)
+    return prime_from_coarse(jax.lax.stop_gradient(t_c), cfg)
 
 
 def render_jax(
@@ -30,7 +53,11 @@ def render_jax(
     sharding unit used by parallel/sharded.py); defaults = full frame.
     """
     ray_o, ray_d = generate_rays(scene.camera, cfg.height, cfg.width, row0, local_height)
-    t, hit = march(cfg, ray_o, ray_d, scene.noise)
+    if cfg.prime_ds:
+        t0p = prime_map_jax(scene, cfg, row0, local_height)
+        t, hit = march_primed(cfg, ray_o, ray_d, scene.noise, t0p)
+    else:
+        t, hit = march(cfg, ray_o, ray_d, scene.noise)
     return shade(
         ray_o, ray_d, t, hit, scene.noise, scene.materials,
         cfg.volumetric, cfg.warp_octaves,

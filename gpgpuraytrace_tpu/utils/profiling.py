@@ -33,11 +33,23 @@ def trace(log_dir: str = "/tmp/tpu_raymarch_trace"):
 
 
 def march_stats(scene: Scene, cfg: RenderConfig) -> dict:
-    """Step-count histogram + hit rate for a frame (runs the stats march)."""
+    """Step-count histogram + hit rate for a frame (runs the stats march).
+
+    With cfg.prime_ds the stats march starts from the depth-prime map, so
+    steps_mean describes the SHIPPING algorithm's useful steps, not the
+    unprimed one's."""
     o, d = generate_rays(scene.camera, cfg.height, cfg.width)
-    t, hit, steps = jax.jit(
-        march_with_stats, static_argnums=0
-    )(cfg, o, d, scene.noise)
+    if cfg.prime_ds:
+        from gpgpuraytrace_tpu.ops.render import prime_map_jax
+
+        t0p = jax.jit(prime_map_jax, static_argnums=1)(scene, cfg)
+        t, hit, steps = jax.jit(
+            march_with_stats, static_argnums=0
+        )(cfg, o, d, scene.noise, t0p)
+    else:
+        t, hit, steps = jax.jit(
+            march_with_stats, static_argnums=0
+        )(cfg, o, d, scene.noise)
     steps = np.asarray(steps)
     hit = np.asarray(hit)
     t = np.asarray(t)
