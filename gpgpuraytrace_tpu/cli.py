@@ -46,10 +46,22 @@ def _cfg_from_args(args) -> "RenderConfig":
         # TPU); previously this raised "Only interpret mode is supported".
         interpret=use_pallas and not on_tpu,
         volumetric=volumetric,
-        # step_relax stays at its None default: RenderConfig resolves the
-        # measured per-mode value (1.0 heightfield / 0.9 volumetric) itself,
-        # so every construction path — CLI, library, scripts — agrees.
+        # step_relax and prime_ds stay at their None defaults: RenderConfig
+        # resolves the measured per-mode relax (1.0 heightfield / 0.9
+        # volumetric) and the depth-prime eligibility itself, so every
+        # construction path — CLI, library, scripts — agrees. --prime-ds
+        # overrides (0 disables, explicit ds validates strictly).
         supersample=getattr(args, "supersample", 1),
+        **(
+            {"prime_ds": args.prime_ds}
+            if getattr(args, "prime_ds", None) is not None
+            else {}
+        ),
+        **(
+            {"prime_margin": args.prime_margin}
+            if getattr(args, "prime_margin", None) is not None
+            else {}
+        ),
     )
 
 
@@ -275,6 +287,15 @@ def main(argv=None):
             "--aot-cache", action="store_true",
             help="serialize/restore the compiled executable beside "
             ".jax_cache/ (cold start ~0.1 s once populated; utils/aot.py)",
+        )
+        sp.add_argument(
+            "--prime-ds", type=int, default=None,
+            help="depth-priming coarse-prepass factor (default: auto — 8 "
+            "when eligible; 0 disables; see RenderConfig.prime_ds)",
+        )
+        sp.add_argument(
+            "--prime-margin", type=float, default=None,
+            help="pull-back on the coarse neighborhood min (default 0.95)",
         )
 
     sp = sub.add_parser("render", help="render one frame")

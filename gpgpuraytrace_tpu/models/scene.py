@@ -178,19 +178,30 @@ class RenderConfig:
     # be skipped. Measured (512², 6 octaves, v5e): 4e-3 → +23% forward
     # rays/s with 0 false hits / 5 hole px per 8K px vs a 1024-step dense
     # ground truth. 0 disables (the classic crawl; frozen goldens use this).
-    prime_ds: int = 0  # depth-priming coarse prepass (0 = off): first march
+    prime_ds: int | None = None  # depth-priming coarse prepass: first march
     # a (H/ds, W/ds) coarse pass, then start each full-res ray at
     # prime_margin × the minimum march distance of its 3×3 coarse
     # neighborhood (misses prime to t_max and skip the march entirely when
     # the whole neighborhood missed). Attacks executed-step count — the one
     # lever the roofline leaves open (the march is issue-bound per step;
     # BASELINE.md "Speed-of-light analysis") — at the cost of one coarse
-    # march (~1/ds² of the frame). Not certified: a terrain feature thinner
-    # than the coarse sampling that all 9 neighbors miss is skipped; the
-    # oracle harness (scripts/prime_trial.py) quantifies exactly that.
-    # Requires march_mode="chunked" and height/width divisible by ds.
-    prime_margin: float = 0.9  # multiplicative pull-back on the coarse
-    # neighborhood min (smaller = more conservative start, more steps).
+    # march (~1/ds² of the frame). Measured (round 5, alternating
+    # same-process A/B at 512²/6oct, ds=8): heightfield +22–25% forward,
+    # volumetric +23–25%, kernel-counted executed steps 31.2 → 23.1, with
+    # oracle hole/off-pixel counts flat-or-better and no compounding on the
+    # rough-terrain robustness row (BASELINE.md "Depth priming"). Not
+    # certified: a terrain feature thinner than the coarse sampling that
+    # all 9 neighbors miss is skipped; scripts/prime_trial.py quantifies
+    # exactly that against the dense oracle.
+    # None (the default) resolves in __post_init__: 8 when the config is
+    # eligible (height/width divisible by 8 and at least 64 — so the
+    # coarse image is ≥ 8×8), else 0; any non-"chunked" march_mode also
+    # resolves to 0 (those modes own their start logic). Explicit 0
+    # disables; an explicit ds validates strictly (raises on indivisible
+    # height/width).
+    prime_margin: float = 0.95  # multiplicative pull-back on the coarse
+    # neighborhood min (smaller = more conservative start, more steps;
+    # 0.95 measured best-of-sweep on both speed and off-pixels at ds=8).
     supersample: int = 1  # SSAA factor: render at k× and box-downsample
     march_bf16: bool = False  # bf16 blend math in the march's value-only
     # field evaluations (Pallas path only; hashing stays int32, positions and
@@ -241,6 +252,23 @@ class RenderConfig:
                 f"(the Pallas march runs whole chunks; a remainder would "
                 f"exceed max_steps)"
             )
+        if self.prime_ds is None:
+            ds = 8
+            eligible = (
+                self.height % ds == 0
+                and self.width % ds == 0
+                and self.height >= 8 * ds
+                and self.width >= 8 * ds
+            )
+            object.__setattr__(self, "prime_ds", ds if eligible else 0)
+        if self.prime_ds and self.march_mode != "chunked":
+            # Non-chunked modes own their march-start logic: "fixed" is the
+            # timing/oracle instrument and must march every step; "lod" and
+            # "compact" are two-phase designs of their own. Resolve to off
+            # (not raise) so dataclasses.replace(cfg, march_mode=...) from a
+            # resolved chunked config keeps working — the idiom every oracle
+            # harness uses.
+            object.__setattr__(self, "prime_ds", 0)
         if self.prime_ds:
             if self.prime_ds < 2:
                 raise ValueError(
@@ -251,13 +279,6 @@ class RenderConfig:
                     f"prime_ds={self.prime_ds} must divide height="
                     f"{self.height} and width={self.width} (the coarse "
                     f"prime image upsamples by integer repeat)"
-                )
-            if self.march_mode != "chunked":
-                raise ValueError(
-                    f"prime_ds requires march_mode='chunked' (got "
-                    f"{self.march_mode!r}: 'fixed' is the timing/oracle "
-                    f"instrument and must march every step; 'lod'/'compact' "
-                    f"have their own two-phase start logic)"
                 )
             if not (0.0 < self.prime_margin <= 1.0):
                 raise ValueError(

@@ -54,3 +54,43 @@ def test_newton_iters_validated():
     with pytest.raises(ValueError, match="newton_iters"):
         RenderConfig(newton_iters=-1)
     RenderConfig(newton_iters=1)  # the minimum is valid
+
+
+def test_prime_ds_default_resolution():
+    """Depth priming (round 5) resolves like step_relax: None → the
+    measured default where the config is eligible, 0 everywhere else."""
+    assert RenderConfig().prime_ds == 8  # 512² chunked: eligible
+    assert RenderConfig(volumetric=True).prime_ds == 8
+    # Non-chunked modes own their start logic → resolves off.
+    assert RenderConfig(march_mode="fixed").prime_ds == 0
+    assert RenderConfig(march_mode="lod").prime_ds == 0
+    assert RenderConfig(
+        march_mode="compact", compact_budget=32
+    ).prime_ds == 0
+    # Too small / indivisible → auto-off (no error on the default path).
+    assert RenderConfig(height=48, width=64, max_steps=128).prime_ds == 0
+    assert RenderConfig(height=100, width=100, max_steps=128).prime_ds == 0
+
+
+def test_prime_ds_mode_replace_resolves_off():
+    """dataclasses.replace(cfg, march_mode=...) from a resolved chunked
+    config (the oracle-harness idiom) must not raise: the carried prime_ds
+    resolves back to 0 for the non-chunked mode."""
+    import dataclasses
+
+    cfg = RenderConfig()
+    assert cfg.prime_ds == 8
+    gt = dataclasses.replace(cfg, march_mode="fixed", max_steps=1024)
+    assert gt.prime_ds == 0
+
+
+def test_prime_ds_explicit_validation():
+    with pytest.raises(ValueError, match="prime_ds"):
+        RenderConfig(prime_ds=1)
+    with pytest.raises(ValueError, match="prime_ds"):
+        RenderConfig(height=100, width=100, max_steps=128, prime_ds=8)
+    with pytest.raises(ValueError, match="prime_margin"):
+        RenderConfig(prime_margin=0.0)
+    with pytest.raises(ValueError, match="prime_margin"):
+        RenderConfig(prime_margin=1.2)
+    assert RenderConfig(prime_ds=0).prime_ds == 0  # explicit off

@@ -225,7 +225,7 @@ def _amp_fit_from_trap_start(rotation_fn=None, steps=80, round3_hash=False):
         # test guards: the NOISE design.
         cfg = RenderConfig(height=96, width=96, max_steps=48,
                            num_octaves=2, use_pallas=False, step_relax=0.7,
-                           newton_iters=4)
+                           newton_iters=4, prime_ds=0)
         scene = default_scene(num_octaves=2)
         target = render(scene, cfg)
         scene0 = dataclasses.replace(

@@ -57,11 +57,14 @@ def test_pallas_matches_pure_jax_image(scene, pallas_out):
 
 def test_pallas_checkpoint_t_hit_match(scene, pallas_out):
     from gpgpuraytrace_tpu.ops.camera import generate_rays
-    from gpgpuraytrace_tpu.ops.march import march
+    from gpgpuraytrace_tpu.ops.march import march_primed
+    from gpgpuraytrace_tpu.ops.render import prime_map_jax
 
     _, t_pal, hit_pal = pallas_out
     o, d = generate_rays(scene.camera, CFG.height, CFG.width)
-    t_ref, hit_ref = march(CFG, o, d, scene.noise)
+    # CFG primes by default (round 5); the reference march must prime too.
+    t0p = prime_map_jax(scene, CFG)
+    t_ref, hit_ref = march_primed(CFG, o, d, scene.noise, t0p)
     agree = np.asarray(hit_pal) == np.asarray(hit_ref)
     assert agree.mean() > 0.995, f"hit masks differ on {100 * (1 - agree.mean()):.2f}% px"
     both_hit = np.asarray(hit_pal) & np.asarray(hit_ref)
@@ -169,7 +172,12 @@ def test_compact_march_matches_chunked_exactly(scene, pallas_out):
     resumes from phase 1's exact t/prev state), so image, checkpoint, and
     hit verdicts must agree to polish tolerance — far tighter than the
     cross-variant bound above."""
-    base, t0, hit0 = pallas_out
+    # Compare against an UNPRIMED chunked render: compaction resolves
+    # prime_ds to 0 (its two-phase start logic supersedes priming), so the
+    # per-lane-identical contract holds against the unprimed march.
+    base, t0, hit0 = _render_pallas_raw(
+        scene, dataclasses.replace(CFG, prime_ds=0)
+    )
     cc = dataclasses.replace(CFG, march_mode="compact", compact_budget=16)
     img, t1, hit1 = _render_pallas_raw(scene, cc)
     assert (np.asarray(hit0) != np.asarray(hit1)).mean() == 0.0
@@ -189,7 +197,9 @@ def test_compact_march_gradients_match(scene):
 
     from gpgpuraytrace_tpu.ops.fit import partition_scene
 
-    cfg = dataclasses.replace(CFG, height=32, max_steps=32)
+    # prime_ds=0: compact resolves priming off (its own two-phase start),
+    # so the chunked side must be unprimed for grads to agree exactly.
+    cfg = dataclasses.replace(CFG, height=32, max_steps=32, prime_ds=0)
     cc = dataclasses.replace(cfg, march_mode="compact", compact_budget=8)
     leaves, merge = partition_scene(scene, trainable=lambda name: True)
 
@@ -256,11 +266,20 @@ def test_debug_steps_counter(scene, pallas_out):
 
     # Lane-level cross-check: each tile executed at least its own lanes' max
     # useful count (whole-tile early exit can only overshoot by < 1 chunk,
-    # plus 1 step for the final hit-detection pass).
+    # plus 1 step for the final hit-detection pass). The lane stats must
+    # march from the SAME prime map the kernel used (the Pallas coarse
+    # pass), or a coarse-pixel difference between implementations could
+    # break the bound.
+    from gpgpuraytrace_tpu.ops.march import coarse_prime_cfg, prime_from_coarse
+
+    _, t_c, _ = _render_pallas_raw(
+        scene, coarse_prime_cfg(CFG), -1.0, CFG.height // CFG.prime_ds + 2
+    )
+    t0p = prime_from_coarse(t_c, CFG)
     o, d = generate_rays(scene.camera, CFG.height, CFG.width)
     _, _, lane = jax.jit(march_with_stats, static_argnums=0)(
         dataclasses.replace(CFG, use_pallas=False, interpret=False),
-        o, d, scene.noise,
+        o, d, scene.noise, t0p,
     )
     tile_max = np.asarray(lane).reshape(
         grid_h, CFG.tile_h, grid_w, 128

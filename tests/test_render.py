@@ -14,12 +14,12 @@ from gpgpuraytrace_tpu.ops.shade import tonemap
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "config1_128.npy")
 
 # The golden anchor pins the classic strict march (step_floor_t=0,
-# step_relax=0.7 — the values the frozen image was rendered with) so the
-# image stays stable across march-acceleration tuning; the production
-# defaults are covered by the variant tests in test_pallas.py.
+# step_relax=0.7, prime_ds=0 — the values the frozen image was rendered
+# with) so the image stays stable across march-acceleration tuning; the
+# production defaults are covered by the variant tests in test_pallas.py.
 CFG1 = RenderConfig(
     height=128, width=128, max_steps=96, num_octaves=1, use_pallas=False,
-    step_floor_t=0.0, step_relax=0.7, newton_iters=4,
+    step_floor_t=0.0, step_relax=0.7, newton_iters=4, prime_ds=0,
 )
 
 
