@@ -48,8 +48,22 @@ HF = dict(size=192, octaves=4, holes_max=12, t_off_max=700)
 VOL = dict(size=128, octaves=3, holes_max=20, t_off_max=400)
 
 
-def _march(cfg, o, d, noise):
-    t, hit, _ = jax.jit(march_with_stats, static_argnums=0)(cfg, o, d, noise)
+def _march(cfg, o, d, noise, scene=None):
+    """March with the SHIPPING semantics: when cfg primes (the round-5
+    default), build the prime map exactly as the render path does —
+    otherwise the harness would silently gate the unprimed march while the
+    product ships the primed one."""
+    if cfg.prime_ds:
+        from gpgpuraytrace_tpu.ops.render import prime_map_jax
+
+        t0p = jax.jit(prime_map_jax, static_argnums=1)(scene, cfg)
+        t, hit, _ = jax.jit(march_with_stats, static_argnums=0)(
+            cfg, o, d, noise, t0p
+        )
+    else:
+        t, hit, _ = jax.jit(march_with_stats, static_argnums=0)(
+            cfg, o, d, noise
+        )
     return np.asarray(t), np.asarray(hit)
 
 
@@ -66,10 +80,11 @@ def _quality(volumetric: bool, **overrides):
         max_steps=512 if volumetric else 1024,
         step_relax=0.25 if volumetric else 0.35,
         step_floor_t=0.0,
+        prime_ds=0,  # the oracle marches dense and unprimed, always
     )
     t_gt, hit_gt = _march(gt_cfg, o, d, scene.noise)
     cfg = RenderConfig(**base, max_steps=128, **overrides)
-    t, hit = _march(cfg, o, d, scene.noise)
+    t, hit = _march(cfg, o, d, scene.noise, scene=scene)
     holes = int((hit_gt & ~hit).sum())
     both = hit_gt & hit
     t_off = int((np.abs(t - t_gt)[both] > T_ERR).sum())
