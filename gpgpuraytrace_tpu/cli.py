@@ -52,11 +52,10 @@ def _cfg_from_args(args) -> "RenderConfig":
         # construction path — CLI, library, scripts — agrees. --prime-ds
         # overrides (0 disables, explicit ds validates strictly).
         supersample=getattr(args, "supersample", 1),
-        **(
-            {"prime_ds": args.prime_ds}
-            if getattr(args, "prime_ds", None) is not None
-            else {}
-        ),
+        # None is exactly RenderConfig's auto-resolve sentinel, so the flag
+        # passes straight through; margin's dataclass default (0.95) is not
+        # None, so only an explicit flag overrides it.
+        prime_ds=getattr(args, "prime_ds", None),
         **(
             {"prime_margin": args.prime_margin}
             if getattr(args, "prime_margin", None) is not None

@@ -326,5 +326,19 @@ march_primed.defvjp(_mp_fwd, _mp_bwd)
 
 def march_with_stats(cfg: RenderConfig, ray_o, ray_d, noise, t0_prime=None):
     """Non-differentiable march that also reports per-pixel step counts
-    (observability: step-count histograms in the bench harness)."""
+    (observability: step-count histograms in the bench harness).
+
+    A primed config REQUIRES the prime map: silently marching unprimed
+    under a cfg that says prime_ds=8 would report stats for a non-shipping
+    algorithm (the hazard that confounded three measurement scripts when
+    priming became the default — code-review round 5). Callers measuring
+    the raw march deliberately must pin prime_ds=0 in their config."""
+    if cfg.prime_ds and t0_prime is None:
+        raise ValueError(
+            f"march_with_stats: cfg primes (prime_ds={cfg.prime_ds}) but no "
+            f"t0_prime was passed — stats would describe the UNPRIMED march "
+            f"while the config ships the primed one. Pass the prime map "
+            f"(ops.render.prime_map_jax) or pin prime_ds=0 to measure the "
+            f"raw march deliberately."
+        )
     return _march_loop(cfg, ray_o, ray_d, noise, t0_prime)

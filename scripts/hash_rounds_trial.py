@@ -137,8 +137,10 @@ def oracle_quality(n=256, octaves=4):
     scene = default_scene(num_octaves=octaves)
     o, d = generate_rays(scene.camera, n, n)
     base = dict(height=n, width=n, num_octaves=octaves, use_pallas=False)
+    # prime_ds=0 both sides: the hash oracle isolates the HASH variable;
+    # since priming became the default (round 5) these would auto-prime.
     gt = RenderConfig(**base, max_steps=1024, step_relax=0.35,
-                      step_floor_t=0.0)
+                      step_floor_t=0.0, prime_ds=0)
 
     def fresh_jit():
         # A NEW lambda per call: jax's global tracing cache is keyed on the
@@ -150,7 +152,7 @@ def oracle_quality(n=256, octaves=4):
                        static_argnums=0)
 
     t_gt, hit_gt, _ = fresh_jit()(gt, o, d, scene.noise)
-    cfg = RenderConfig(**base, max_steps=128)
+    cfg = RenderConfig(**base, max_steps=128, prime_ds=0)
     t, hit, _ = fresh_jit()(cfg, o, d, scene.noise)
     t_gt, hit_gt = np.asarray(t_gt), np.asarray(hit_gt)
     t, hit = np.asarray(t), np.asarray(hit)

@@ -113,8 +113,22 @@ def main():
 
     cfg_x = dataclasses.replace(cfg, use_pallas=False, interpret=False)
     o, d = generate_rays(scene.camera, n, n)
+    # The lane stats must march from the SAME prime map the kernel used
+    # (the kernel's own coarse pass) — since priming became the default
+    # (round 5), unprimed lane stats against the primed kernel counter
+    # would conflate priming savings with tile-divergence waste.
+    t0p = None
+    if cfg.prime_ds:
+        from gpgpuraytrace_tpu.ops.march import (
+            coarse_prime_cfg, prime_from_coarse,
+        )
+
+        _, t_c, _ = _render_pallas_raw(
+            scene, coarse_prime_cfg(cfg), -1.0, n // cfg.prime_ds + 2
+        )
+        t0p = prime_from_coarse(t_c, cfg)
     _, _, lane = jax.jit(march_with_stats, static_argnums=0)(
-        cfg_x, o, d, scene.noise)
+        cfg_x, o, d, scene.noise, t0p)
     lane = np.asarray(lane)
     useful = float(lane.mean())
     # Chunked whole-tile model from the same lane data (what rounds 2-4

@@ -131,7 +131,12 @@ def main():
             variants.append((int(ds), float(margin)))
 
     for ds, margin in variants:
-        kw = {} if ds == 0 else {"prime_ds": ds, "prime_margin": margin}
+        # ds=0 must PIN prime off: an empty kw would leave prime_ds=None,
+        # which auto-resolves to the shipping default (8) since priming
+        # became the default — the "unprimed baseline" would silently be
+        # primed (code-review round 5).
+        kw = {"prime_ds": 0} if ds == 0 else {
+            "prime_ds": ds, "prime_margin": margin}
         cfg = RenderConfig(**base, **kw)
         try:
             img, t, hit = _render_pallas_raw(scene, cfg)

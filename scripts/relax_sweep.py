@@ -116,7 +116,13 @@ def main():
         combos = [(r, None) for r in relaxes]
     for relax, newton in combos:
         kw = {} if newton is None else {"newton_iters": newton}
-        cfg = RenderConfig(**base, step_relax=relax, **kw)
+        # prime_ds=0: this sweep calibrates step_relax/newton against the
+        # dense oracle in isolation; since depth priming became the default
+        # (round 5) the candidates would otherwise auto-prime and
+        # coarse-sampling misses would be attributed to relax values. The
+        # relax×prime interaction is measured deliberately in
+        # scripts/prime_trial.py.
+        cfg = RenderConfig(**base, step_relax=relax, prime_ds=0, **kw)
         try:
             img, t, hit = render_th(scene, cfg)
             hit = np.asarray(hit)

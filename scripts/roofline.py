@@ -473,7 +473,10 @@ def march_step_stats(cfg, scene):
     from gpgpuraytrace_tpu.kernels.trace import CHUNK, TILE_W
     import dataclasses
 
-    xcfg = dataclasses.replace(cfg, use_pallas=False)
+    # prime_ds=0: this is the divergence-tax anatomy of the RAW march (the
+    # roofline's per-step analysis is prime-independent); the primed
+    # shipping stats live in bench.py's stats child / utils.march_stats.
+    xcfg = dataclasses.replace(cfg, use_pallas=False, prime_ds=0)
     o, d = generate_rays(scene.camera, cfg.height, cfg.width)
     _, hit, steps = jax.jit(
         lambda o, d: march_with_stats(xcfg, o, d, scene.noise)

@@ -95,3 +95,17 @@ def test_primed_gradients_match_fd():
     )
     assert np.isfinite(ad) and np.isfinite(fd)
     assert abs(ad - fd) <= 5e-2 * max(abs(fd), 1e-5), f"ad={ad} fd={fd}"
+
+
+def test_march_with_stats_requires_prime_map_when_primed():
+    """A primed config must not silently march unprimed in the stats path
+    (the measurement-confounding hazard code review caught when priming
+    became the default)."""
+    from gpgpuraytrace_tpu.ops.camera import generate_rays
+    from gpgpuraytrace_tpu.ops.march import march_with_stats
+
+    scene = default_scene(num_octaves=2)
+    cfg = dataclasses.replace(CFG, use_pallas=False)
+    o, d = generate_rays(scene.camera, cfg.height, cfg.width)
+    with pytest.raises(ValueError, match="prime"):
+        march_with_stats(cfg, o, d, scene.noise)
