@@ -187,8 +187,27 @@ def _march_loop(
             steps + advance.astype(jnp.int32),
         )
 
-    t, prev_t, hit, _, steps = jax.lax.fori_loop(
-        0, cfg.max_steps, body, (t0, prev0, hit0, active0, steps0)
+    # while_loop with a global early exit, not a fixed-trip fori: once every
+    # lane has hit / escaped / reached t_max the remaining iterations are
+    # exact no-ops (inactive lanes never change state), so exiting is
+    # bitwise identical — and it lets this path benefit from depth priming
+    # and the sky-envelope skip the way the Pallas kernel does (before this,
+    # priming was pure overhead here: the loop marched max_steps
+    # regardless). The any() reduction per step is trivial next to a
+    # 6-octave field evaluation.
+    def w_cond(carry):
+        i = carry[0]
+        return (i < cfg.max_steps) & jnp.any(carry[4])
+
+    def w_body(carry):
+        i, t, prev_t, hit, active, steps = carry
+        t, prev_t, hit, active, steps = body(
+            i, (t, prev_t, hit, active, steps)
+        )
+        return i + 1, t, prev_t, hit, active, steps
+
+    _, t, prev_t, hit, _, steps = jax.lax.while_loop(
+        w_cond, w_body, (jnp.int32(0), t0, prev0, hit0, active0, steps0)
     )
 
     # Bracketed safeguarded-Newton polish at hits. Plain Newton can diverge
