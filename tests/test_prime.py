@@ -109,3 +109,36 @@ def test_march_with_stats_requires_prime_map_when_primed():
     o, d = generate_rays(scene.camera, cfg.height, cfg.width)
     with pytest.raises(ValueError, match="prime"):
         march_with_stats(cfg, o, d, scene.noise)
+
+
+def test_primed_volumetric_agrees_with_unprimed():
+    """Volumetric priming (3D-warped field, overhangs): same contract as
+    the heightfield variant test — the suite's other volumetric configs
+    are too small to auto-prime, so this is the only in-suite coverage of
+    the primed volumetric march."""
+    cfg = dataclasses.replace(CFG, volumetric=True, step_relax=None)
+    scene = default_scene(num_octaves=3, volumetric=True)
+    img_p = np.asarray(render_jax(scene, cfg))
+    img_0 = np.asarray(render_jax(scene, dataclasses.replace(cfg, prime_ds=0)))
+    d = np.abs(img_p - img_0)
+    # The warped volumetric field flips more marginal pixels at this toy
+    # scale (64×128, 64 steps, 16×32 coarse) than the heightfield — the
+    # contract matches the cross-variant band of the march-variant tests;
+    # shipping-scale quality is gated by the oracle harness + the
+    # committed volumetric bounds in tests/test_quality.py.
+    assert (d <= 2e-3).mean() >= 0.99, f"bulk: {(d <= 2e-3).mean():.4f}"
+    assert (d <= 5e-2).mean() >= 0.995, f"tail: {(d <= 5e-2).mean():.4f}"
+
+
+def test_primed_supersample_composes():
+    """SSAA renders at k× inside render(); the carried prime_ds must stay
+    valid at the scaled resolution and the downsample must see primed
+    sub-pixels (smoke: shape + finiteness + sky/terrain structure)."""
+    from gpgpuraytrace_tpu.ops.render import render
+
+    cfg = dataclasses.replace(CFG, supersample=2)
+    img = np.asarray(render(default_scene(num_octaves=3), cfg))
+    assert img.shape == (CFG.height, CFG.width, 3)
+    assert np.isfinite(img).all()
+    top = img[:4].mean(axis=(0, 1))
+    assert top[2] > top[0]  # sky stays blue-dominant
